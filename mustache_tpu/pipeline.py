@@ -1,0 +1,159 @@
+"""Per-chromosome orchestration: ingest -> normalize -> block grid -> device
+batches -> host finish -> overlap dedup.
+
+Replaces the reference's multiprocessing fan-out (mustache.py:896-960) with
+a single SPMD computation: all blocks of a chromosome are densified into a
+``[B, N, N]`` batch and processed by one jitted vmapped detector call
+(optionally sharded over a device mesh — see mustache_tpu.sharding). The
+block grid, overlap sizes, and ownership masks are identical to the
+reference so per-block statistics (exponential fits, BH FDR) reproduce the
+reference's numbers exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from mustache_tpu.config import DetectionConfig, chunk_grid, block_mask_sizes
+from mustache_tpu.detect import build_detector, finish_block
+from mustache_tpu.normalize import normalize_sparse
+
+
+@dataclasses.dataclass(frozen=True)
+class Loop:
+    """One loop call in bin coordinates."""
+
+    bin1: int
+    bin2: int
+    q: float
+    scale: float
+
+    def to_row(self, chrom, chrom2, res: int) -> str:
+        return (
+            f"{chrom}\t{self.bin1 * res}\t{(self.bin1 + 1) * res}\t"
+            f"{chrom2}\t{self.bin2 * res}\t{(self.bin2 + 1) * res}\t"
+            f"{self.q}\t{self.scale}\n"
+        )
+
+
+def densify_block(x, y, v, start: int, end: int, chunk: int) -> np.ndarray:
+    """Dense block for [start, end) exactly as the reference densifies
+    (mustache.py:919-924): entries fully inside the window, duplicate
+    triplets resolved last-write-wins by fancy assignment."""
+    sel = (x >= start) & (x < end) & (y >= start) & (y < end)
+    cc = np.zeros((chunk, chunk), dtype=np.float64)
+    cc[x[sel] - start, y[sel] - start] = v[sel]
+    return cc
+
+
+def _auto_batch(n: int, cfg: DetectionConfig, backend: str) -> int:
+    if cfg.block_batch:
+        return cfg.block_batch
+    if backend == "cpu":
+        return 2
+    # ~45 NxN fp32 live buffers per block through the ladder; stay under ~4GB
+    per_block = 45 * n * n * 4
+    return max(1, min(4, int(4e9 // per_block)))
+
+
+def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
+                     exact_normalize: bool = False,
+                     runner=None) -> list[Loop]:
+    """Loop calls for one intra-chromosomal COO map (bin coordinates).
+
+    ``runner``: optional callable ``(detector, blocks[B,N,N]) -> outputs``
+    used by the sharded driver; defaults to direct invocation.
+    """
+    import jax
+
+    if len(v) == 0:
+        return []
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+
+    d_px = cfg.distance_px
+    n = int(max(x.max(), y.max())) + 1
+    if normalize:
+        normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize)
+
+    chunk = cfg.chunk_size
+    start, end = chunk_grid(n, chunk, d_px)
+    masks = block_mask_sizes(start, end, d_px)
+    nblocks = len(start)
+    width = end[0] - start[0]  # == chunk unless the map fits in one block
+
+    backend = jax.default_backend()
+    B = _auto_batch(width, cfg, backend)
+    detector = build_detector(cfg, width)
+
+    loops: list[Loop] = []
+    for b0 in range(0, nblocks, B):
+        idxs = list(range(b0, min(b0 + B, nblocks)))
+        blocks = np.zeros((B, width, width), dtype=np.float64)
+        for bi, i in enumerate(idxs):
+            blocks[bi] = densify_block(x, y, v, start[i], end[i], width)
+        if runner is None:
+            out = detector(blocks)
+        else:
+            out = runner(detector, blocks)
+        out = jax.tree.map(np.asarray, out)
+
+        for bi, i in enumerate(idxs):
+            block_out = jax.tree.map(lambda a: a[bi], out)
+            block_out = _maybe_regrow(block_out, blocks[bi], cfg, width)
+            rows = finish_block(
+                block_out, block_index=i, start=start[i], cfg=cfg,
+                spec=detector.spec,
+            )
+            mask = masks[i]
+            for r in rows:
+                if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
+                    loops.append(Loop(int(r[0]), int(r[1]), float(r[2]), float(r[3])))
+    return loops
+
+
+def _maybe_regrow(block_out: dict, block: np.ndarray, cfg: DetectionConfig,
+                  width: int) -> dict:
+    """If the candidate table overflowed (more pixels below the q threshold
+    than capacity), rerun this single block with a larger capacity."""
+    import jax
+
+    sig = int(block_out["sig_count"])
+    if sig <= cfg.max_candidates:
+        return block_out
+    cap = 1 << (sig - 1).bit_length()
+    det = build_detector(cfg, width, max_candidates=cap)
+    return jax.tree.map(np.asarray, det.fn_single(block))
+
+
+def write_loops(path: str, per_chrom: Iterable[tuple[str, str, int, Sequence[Loop]]]):
+    """Write the reference-format TSV (mustache.py:1082-1103)."""
+    with open(path, "w") as fh:
+        fh.write(
+            "BIN1_CHR\tBIN1_START\tBIN1_END\tBIN2_CHROMOSOME\t"
+            "BIN2_START\tBIN2_END\tFDR\tDETECTION_SCALE\n"
+        )
+        for chrom, chrom2, res, loops in per_chrom:
+            for lp in loops:
+                fh.write(lp.to_row(chrom, chrom2, res))
+
+
+# Public convenience API ----------------------------------------------------
+
+def find_loops(x, y, v, *, resolution: int = 5000, distance_bp: int = 2_000_000,
+               pt: float = 0.2, st: float = 0.88, sigma0: float = 1.6,
+               octaves: int = 2, precision: str = "float32",
+               normalize: bool = True) -> list[Loop]:
+    """One-call API: COO contact map in, loop calls out."""
+    from mustache_tpu.config import clamp_distance_filter
+
+    cfg = DetectionConfig(
+        resolution=resolution,
+        distance_bp=clamp_distance_filter(distance_bp, resolution),
+        pt=pt, st=st, sigma0=sigma0, octaves=octaves, precision=precision,
+    )
+    return detect_loops_coo(x, y, v, cfg, normalize=normalize)

@@ -1,0 +1,65 @@
+"""Synthetic Hi-C contact-map generator for tests and benchmarks.
+
+Produces COO upper-triangular maps with the statistical shape of real Hi-C:
+counts decay with genomic distance (power law), sparsity grows with
+distance, and "loops" are planted as local 2-D Gaussian enrichment bumps at
+known anchor pairs. Deterministic under a seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synthetic_hic(n_bins: int, d_px: int, *, seed: int = 0,
+                  n_loops: int = 30, loop_strength: float = 4.0,
+                  density: float = 0.97, density_decay: float = 0.02):
+    """Return (x, y, v) int64/int64/float64 COO triplets, plus loop anchors.
+
+    ``density``: fraction of band pixels that receive a nonzero count at
+    distance 0 (decays with distance).
+    """
+    rng = np.random.default_rng(seed)
+    xs, ys, vs = [], [], []
+    for d in range(1, d_px + 1):
+        m = n_bins - d
+        if m <= 0:
+            break
+        p = density * (1.0 + d) ** -density_decay
+        occupied = rng.random(m) < p
+        idx = np.nonzero(occupied)[0]
+        lam = 60.0 * (1.0 + d) ** -0.9 + 1.0
+        counts = rng.poisson(lam, size=len(idx)).astype(np.float64) + 1.0
+        xs.append(idx)
+        ys.append(idx + d)
+        vs.append(counts)
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    v = np.concatenate(vs)
+
+    # plant loops: multiply counts near anchor pairs by a Gaussian bump
+    anchors = []
+    coord = {}
+    for i in range(len(x)):
+        coord.setdefault((x[i], y[i]), i)
+    for _ in range(n_loops):
+        ax = int(rng.integers(10, n_bins - 10))
+        dd = int(rng.integers(max(10, d_px // 8), int(d_px * 0.9)))
+        ay = ax + dd
+        if ay >= n_bins - 10:
+            continue
+        anchors.append((ax, ay))
+        for ddx in range(-3, 4):
+            for ddy in range(-3, 4):
+                key = (ax + ddx, ay + ddy)
+                i = coord.get(key)
+                w = loop_strength * np.exp(-(ddx * ddx + ddy * ddy) / 3.0)
+                if i is not None:
+                    v[i] *= (1.0 + w)
+                elif 0 <= key[0] < n_bins and key[0] + 4 < key[1] < n_bins:
+                    coord[key] = len(v)
+                    x = np.append(x, key[0])
+                    y = np.append(y, key[1])
+                    v = np.append(v, 3.0 * (1.0 + w))
+    order = np.lexsort((y, x))
+    return x[order].astype(np.int64), y[order].astype(np.int64), v[order], anchors

@@ -1,0 +1,292 @@
+"""``mustache``-compatible command-line interface.
+
+Flags, defaults, error messages, chromosome discovery, and output format
+mirror the reference driver (mustache.py:52-178 for the parser, :963-1111
+for the main flow) so existing invocations and the benchmark configs work
+unchanged. Engine-only extras are prefixed ``--engine-*``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from mustache_tpu.config import DetectionConfig, clamp_distance_filter, parse_bp
+from mustache_tpu.io.bias import read_bias
+from mustache_tpu.io.chrom import normalize_chrom, read_chrom_sizes
+from mustache_tpu.io.text import read_text_contacts
+from mustache_tpu.pipeline import detect_loops_coo
+
+
+def build_parser(diff: bool = False) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Check the help flag")
+    if diff:
+        p.add_argument("-f1", "--file1", dest="f_path1", required=False,
+                       help="REQUIRED: Contact map")
+        p.add_argument("-f2", "--file2", dest="f_path2", required=False,
+                       help="REQUIRED: Contact map")
+    else:
+        p.add_argument("-f", "--file", dest="f_path", required=False,
+                       help="REQUIRED: Contact map")
+    p.add_argument("-d", "--distance", dest="distFilter", required=False,
+                   help="REQUIRED: Maximum distance (in bp) allowed between loop loci")
+    p.add_argument("-o", "--outfile", dest="outdir", required=True,
+                   help="REQUIRED: Name of the output file.")
+    p.add_argument("-r", "--resolution", dest="resolution", required=True,
+                   help="REQUIRED: Resolution used for the contact maps")
+    if diff:
+        p.add_argument("-bed1", "--bed1", dest="bed1", default="",
+                       help="BED file for HiC-Pro type input")
+        p.add_argument("-m1", "--matrix1", dest="mat1", default="",
+                       help="MATRIX file for HiC-Pro type input")
+        p.add_argument("-b1", "--biases1", dest="biasfile1", required=False,
+                       help="RECOMMENDED: biases calculated by ICE or KR norm")
+        p.add_argument("-bed2", "--bed2", dest="bed2", default="",
+                       help="BED file for HiC-Pro type input")
+        p.add_argument("-m2", "--matrix2", dest="mat2", default="",
+                       help="MATRIX file for HiC-Pro type input")
+        p.add_argument("-b2", "--biases2", dest="biasfile2", required=False,
+                       help="RECOMMENDED: biases calculated by ICE or KR norm")
+    else:
+        p.add_argument("-bed", "--bed", dest="bed", default="",
+                       help="BED file for HiC-Pro type input")
+        p.add_argument("-m", "--matrix", dest="mat", default="",
+                       help="MATRIX file for HiC-Pro type input")
+        p.add_argument("-b", "--biases", dest="biasfile", required=False,
+                       help="RECOMMENDED: biases calculated by ICE or KR norm "
+                            "for each locus for contact map are read from BIASFILE")
+    p.add_argument("-cz", "--chromosomeSize", default="", dest="chrSize_file",
+                   help="RECOMMENDED: .hic corresponding chromosome size file.",
+                   required=False)
+    p.add_argument("-norm", "--normalization", default=False, dest="norm_method",
+                   help="RECOMMENDED: Hi-C normalization method (KR, VC,...).",
+                   required=False)
+    p.add_argument("-st", "--sparsityThreshold", dest="st", type=float,
+                   default=0.88,
+                   help="OPTIONAL: Mustache filters out contacts in sparse "
+                        "areas, you can relax this for sparse datasets "
+                        "(i.e. -st 0.8). Default value is 0.88.")
+    p.add_argument("-pt", "--pThreshold", dest="pt", type=float, default=0.2,
+                   help="OPTIONAL: P-value threshold for the results in the "
+                        "final output. Default is 0.2")
+    if diff:
+        p.add_argument("-pt2", "--pThreshold2", dest="pt2", type=float,
+                       default=0.1,
+                       help="OPTIONAL: P-value threshold for the differential "
+                            "results. Default is 0.1")
+    p.add_argument("-sz", "--sigmaZero", dest="s_z", type=float, default=1.6,
+                   help="OPTIONAL: sigma0 value for the method. DEFAULT is "
+                        "1.6. Experimentally chosen for 5Kb resolution")
+    p.add_argument("-oc", "--octaves", dest="octaves", default=2, type=int,
+                   help="OPTIONAL: Octave count for the method. DEFAULT is 2.")
+    p.add_argument("-i", "--iterations", dest="s", default=10, type=int,
+                   help="OPTIONAL: iteration count for the method. DEFAULT is "
+                        "10. Experimentally chosen for 5Kb resolution")
+    p.add_argument("-p", "--processes", dest="nprocesses", default=4, type=int,
+                   help="OPTIONAL: Accepted for compatibility; the TPU engine "
+                        "parallelizes blocks on-device instead of forking.")
+    p.add_argument("-ch", "--chromosome", dest="chromosome", nargs="+",
+                   default="n",
+                   help="REQUIRED: Specify which chromosome to run the "
+                        "program for. Optional for cooler files.")
+    p.add_argument("-ch2", "--chromosome2", dest="chromosome2", nargs="+",
+                   default="n",
+                   help="Optional: Specify the second chromosome for "
+                        "interchromosomal analysis.")
+    p.add_argument("-v", "--verbose", dest="verbose", type=bool, default=True,
+                   help="OPTIONAL: Verbosity of the program")
+    # engine extras (no reference counterpart)
+    p.add_argument("--engine-precision", dest="precision", default="float32",
+                   choices=["float32", "float64"],
+                   help="Numerics of the detection core. float32 runs on the "
+                        "TPU fast path; float64 reproduces the reference "
+                        "bit-for-bit (CPU).")
+    p.add_argument("--engine-block-batch", dest="block_batch", type=int,
+                   default=0, help="Blocks per device batch (0 = auto).")
+    p.add_argument("--engine-profile-dir", dest="profile_dir", default="",
+                   help="Write a TensorBoard trace of the run to this dir.")
+    p.add_argument("--engine-resume", dest="resume", action="store_true",
+                   help="Checkpoint per chromosome and skip chromosomes "
+                        "already completed by a previous (crashed) run with "
+                        "the same output path and parameters.")
+    p.add_argument("--engine-json-log", dest="json_log", action="store_true",
+                   help="Structured JSON event log on stderr.")
+    return p
+
+
+def parse_args(argv):
+    return build_parser(diff=False).parse_args(argv)
+
+
+def _chromosome_lists(args, f, res):
+    """Chromosome discovery, mirroring mustache.py:979-1054."""
+    chrSize_in_bp = False
+    if not args.chromosome or args.chromosome == "n":
+        if f.endswith(".cool") or f.endswith(".mcool"):
+            from mustache_tpu.io.cool import cool_chrom_list
+            chr_list = cool_chrom_list(f, res if f.endswith(".mcool") else None)
+        elif f.endswith(".hic"):
+            from mustache_tpu.io.hic import HicFile
+            hic = HicFile(f)
+            chr_list = [c.name for c in hic.chromosomes[1:]]
+            chrSize_in_bp = {
+                "chr" + normalize_chrom(c.name): c.length
+                for c in hic.chromosomes[1:]
+            }
+        else:
+            print("Error: Please enter the chromosome name.")
+            return None, None, None
+    else:
+        chr_list = list(args.chromosome)
+    if f.endswith(".hic") and not chrSize_in_bp:
+        from mustache_tpu.io.hic import HicFile
+        hic = HicFile(f)
+        chrSize_in_bp = {
+            "chr" + normalize_chrom(c.name): c.length
+            for c in hic.chromosomes[1:]
+        }
+
+    if (args.chromosome2 and args.chromosome2 != "n") and \
+            len(chr_list) != len(args.chromosome2):
+        print("Error: the same number of chromosome1 and chromosome2 should be provided.")
+        return None, None, None
+    if isinstance(args.chromosome2, list):
+        chr_list2 = list(args.chromosome2)
+    else:
+        chr_list2 = list(chr_list)
+
+    if args.chrSize_file and not chrSize_in_bp:
+        chrSize_in_bp = read_chrom_sizes(args.chrSize_file)
+    return chr_list, chr_list2, chrSize_in_bp
+
+
+def load_contacts(f, norm_method, chrm_size, distance_bp, chromosome,
+                  chromosome2, res, biasfile):
+    """Format dispatch (mustache.py:879-886). Returns (x, y, v, res)."""
+    if f.endswith(".hic"):
+        from mustache_tpu.io.hic import read_hic_file
+        x, y, v = read_hic_file(
+            f, norm_method, chrm_size, distance_bp, chromosome, chromosome2, res)
+    elif f.endswith(".cool"):
+        from mustache_tpu.io.cool import read_cooler
+        x, y, v, res = read_cooler(f, distance_bp, chromosome, chromosome2,
+                                   norm_method)
+    elif f.endswith(".mcool"):
+        from mustache_tpu.io.cool import read_mcooler
+        x, y, v = read_mcooler(f, distance_bp, chromosome, chromosome2, res,
+                               norm_method)
+    else:
+        bias = read_bias(biasfile, chromosome, res)
+        x, y, v = read_text_contacts(f, distance_bp, bias, chromosome, res)
+    return x, y, v, res
+
+
+def main(argv=None):
+    from mustache_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    start_time = time.time()
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    print("\n")
+
+    f = args.f_path
+    if args.bed and args.mat:
+        f = args.mat
+    if not f or not os.path.exists(f):
+        print("Error: Couldn't find the specified contact files")
+        return 1
+    res = parse_bp(args.resolution)
+    if not res:
+        print("Error: Invalid resolution")
+        return 1
+
+    dist_bp = clamp_distance_filter(parse_bp(args.distFilter), res)
+
+    chr_list, chr_list2, chrSize_in_bp = _chromosome_lists(args, f, res)
+    if chr_list is None:
+        return 1
+
+    biasf = False
+    if args.biasfile:
+        if os.path.exists(args.biasfile):
+            biasf = args.biasfile
+        else:
+            print("Error: Couldn't find specified bias file")
+            return 1
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+
+    from mustache_tpu.runlog import RunLog
+    log = RunLog(json_mode=args.json_log)
+    header = ("BIN1_CHR\tBIN1_START\tBIN1_END\tBIN2_CHROMOSOME\t"
+              "BIN2_START\tBIN2_END\tFDR\tDETECTION_SCALE\n")
+
+    manifest = None
+    if args.resume:
+        from mustache_tpu.manifest import RunManifest, config_fingerprint
+        base_cfg = DetectionConfig(
+            resolution=res, distance_bp=dist_bp, pt=args.pt, st=args.st,
+            sigma0=args.s_z, octaves=args.octaves, precision=args.precision)
+        manifest = RunManifest(
+            args.outdir, config_fingerprint(base_cfg, {"f": os.path.abspath(f)}))
+        done = manifest.completed_chromosomes()
+        if done:
+            log.event("resume", skipping=sorted(done))
+
+    if not args.resume:
+        with open(args.outdir, "w") as out:
+            out.write(header)
+
+    for i, (chromosome, chromosome2) in enumerate(zip(chr_list, chr_list2)):
+        if chromosome != chromosome2:
+            print("Interchromosomal analysis is not supported "
+                  "(non-functional in the reference as well).")
+            return 1
+        if manifest and str(chromosome) in manifest.completed_chromosomes():
+            continue
+        chrm_size = False
+        if chrSize_in_bp:
+            chrm_size = chrSize_in_bp.get("chr" + normalize_chrom(chromosome), False)
+
+        with log.phase("ingest", chromosome=str(chromosome)):
+            x, y, v, res_eff = load_contacts(
+                f, args.norm_method, chrm_size, dist_bp, chromosome,
+                chromosome2, res, biasf)
+
+        cfg = DetectionConfig(
+            resolution=res_eff, distance_bp=dist_bp, pt=args.pt, st=args.st,
+            sigma0=args.s_z, octaves=args.octaves, precision=args.precision,
+            block_batch=args.block_batch,
+        )
+        with log.phase("detect", chromosome=str(chromosome),
+                       contacts=len(v)):
+            loops = detect_loops_coo(x, y, v, cfg) if len(v) else []
+
+        rows = "".join(lp.to_row(chromosome, chromosome2, res_eff)
+                       for lp in loops)
+        elapsed = time.time() - start_time
+        print("{0} loops found for chrmosome={1}, fdr<{2} in {3}sec".format(
+            len(loops), chromosome, args.pt, "%.2f" % elapsed))
+        if manifest:
+            manifest.mark_complete(str(chromosome), len(loops), elapsed, rows)
+        elif rows:
+            with open(args.outdir, "a") as out:
+                out.write(rows)
+        start_time = time.time()
+
+    if manifest:
+        manifest.assemble([str(c) for c in chr_list], header)
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

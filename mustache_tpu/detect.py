@@ -68,28 +68,33 @@ def _max3x3(x):
 def _blur_ladder(c, kernels):
     """All S Gaussian blurs of ``c`` as one batched separable convolution.
 
-    ``kernels``: [S, W] zero-padded to the common radius R=(W-1)//2.
-    Symmetric (scipy 'reflect') padding by R once, then two VALID passes:
-    axis 0 (rows) producing S channels, then a depthwise axis-1 pass.
+    ``c``: [N, N] or [M, N, N] (M independent maps). ``kernels``: [S, W]
+    zero-padded to the common radius R=(W-1)//2. Symmetric (scipy
+    'reflect') padding by R once, then two VALID passes: axis 0 (rows)
+    producing S channels, then a depthwise axis-1 pass. Returns [S, N, N]
+    or [M, S, N, N].
     """
+    single = c.ndim == 2
+    if single:
+        c = c[None]
     S, W = kernels.shape
     R = (W - 1) // 2
-    cpad = jnp.pad(c, R, mode="symmetric")
-    lhs = cpad[None, None]                        # [1, 1, N+2R, N+2R]
+    cpad = jnp.pad(c, ((0, 0), (R, R), (R, R)), mode="symmetric")
+    lhs = cpad[:, None]                           # [M, 1, N+2R, N+2R]
     k_rows = kernels[:, None, :, None]            # [S, 1, W, 1]
     g = lax.conv_general_dilated(
         lhs, k_rows, (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=lax.Precision.HIGHEST,
-    )                                             # [1, S, N, N+2R]
+    )                                             # [M, S, N, N+2R]
     k_cols = kernels[:, None, None, :]            # [S, 1, 1, W]
     g = lax.conv_general_dilated(
         g, k_cols, (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=S,
         precision=lax.Precision.HIGHEST,
-    )                                             # [1, S, N, N]
-    return g[0]
+    )                                             # [M, S, N, N]
+    return g[0] if single else g
 
 
 def _bh_logq(logp_flat, n_tested):

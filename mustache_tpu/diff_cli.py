@@ -1,0 +1,114 @@
+"""``diff_mustache``-compatible CLI: differential loops between two
+conditions. Mirrors diff_mustache.py:29-180 (parser) and :720-906 (driver):
+four output files ``.loop1 .diffloop1 .loop2 .diffloop2``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from mustache_tpu.cli import build_parser, load_contacts, _chromosome_lists
+from mustache_tpu.config import DetectionConfig, clamp_distance_filter, parse_bp
+from mustache_tpu.diff import detect_diff_loops_coo
+from mustache_tpu.io.chrom import normalize_chrom
+
+HEADER = ("BIN1_CHR\tBIN1_START\tBIN1_END\tBIN2_CHROMOSOME\t"
+          "BIN2_START\tBIN2_END\tFDR\tDETECTION_SCALE\n")
+SUFFIXES = {1: ".loop1", 2: ".diffloop1", 3: ".loop2", 4: ".diffloop2"}
+
+
+def parse_args(argv):
+    return build_parser(diff=True).parse_args(argv)
+
+
+def main(argv=None):
+    from mustache_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    start_time = time.time()
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    print("\n")
+
+    f1, f2 = args.f_path1, args.f_path2
+    if args.bed1 and args.mat1:
+        f1 = args.mat1
+    if args.bed2 and args.mat2:
+        f2 = args.mat2
+    if not f1 or not f2 or not os.path.exists(f1) or not os.path.exists(f2):
+        print("Error: Couldn't find the specified contact files")
+        return 1
+    res = parse_bp(args.resolution)
+    if not res:
+        print("Error: Invalid resolution")
+        return 1
+
+    # differential clamp caps at 2000*res / 2Mb (diff_mustache.py:759-778)
+    dist_bp = clamp_distance_filter(parse_bp(args.distFilter), res, diff=True)
+
+    chr_list, chr_list2, chrSize_in_bp = _chromosome_lists(args, f1, res)
+    if chr_list is None:
+        return 1
+
+    biasf1 = args.biasfile1 if args.biasfile1 and os.path.exists(args.biasfile1) else False
+    if args.biasfile1 and not biasf1:
+        print("Error: Couldn't find the specified bias file1")
+        return 1
+    biasf2 = args.biasfile2 if args.biasfile2 and os.path.exists(args.biasfile2) else False
+    if args.biasfile2 and not biasf2:
+        print("Error: Couldn't find the specified bias file2")
+        return 1
+
+    for i, (chromosome, chromosome2) in enumerate(zip(chr_list, chr_list2)):
+        if chromosome != chromosome2:
+            print("Interchromosomal analysis is not supported.")
+            return 1
+        chrm_size = False
+        if chrSize_in_bp:
+            chrm_size = chrSize_in_bp.get("chr" + normalize_chrom(chromosome), False)
+
+        x1, y1, v1, res_eff = load_contacts(
+            f1, args.norm_method, chrm_size, dist_bp, chromosome, chromosome2,
+            res, biasf1)
+        x2, y2, v2, res2 = load_contacts(
+            f2, args.norm_method, chrm_size, dist_bp, chromosome, chromosome2,
+            res, biasf2)
+        if f1.endswith(".cool") and f2.endswith(".cool") and res_eff != res2:
+            raise ValueError("Both contact maps should have the same resolution.")
+
+        cfg = DetectionConfig(
+            resolution=res_eff, distance_bp=dist_bp, pt=args.pt, pt2=args.pt2,
+            st=args.st, sigma0=args.s_z, octaves=args.octaves,
+            precision=args.precision, block_batch=args.block_batch,
+        )
+        rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg) \
+            if len(v1) and len(v2) else []
+
+        if i == 0:
+            for sfx in SUFFIXES.values():
+                with open(args.outdir + sfx, "w") as out:
+                    out.write(HEADER)
+
+        counters = {1: 0, 2: 0, 3: 0, 4: 0}
+        handles = {t: open(args.outdir + sfx, "a")
+                   for t, sfx in SUFFIXES.items()}
+        try:
+            for b1, b2, q, scale, tag in rows:
+                counters[tag] += 1
+                handles[tag].write(
+                    f"{chromosome}\t{b1*res_eff}\t{(b1+1)*res_eff}\t"
+                    f"{chromosome2}\t{b2*res_eff}\t{(b2+1)*res_eff}\t"
+                    f"{q}\t{scale}\n")
+        finally:
+            for h in handles.values():
+                h.close()
+        print(f"({counters[1]},{counters[3]}) loops and "
+              f"({counters[2]},{counters[4]}) differential-loops found in "
+              f"chrmosome={chromosome} for detection-fdr<{args.pt} and "
+              f"difference-fdr<{args.pt2} in {time.time()-start_time:.2f}sec")
+        start_time = time.time()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""Native .cool / .mcool reader (HDF5 via h5py — no cooler dependency).
+
+Implements the subset of the cooler schema the detection engine needs
+(reference usage: mustache.py:399-592, :1019-1029):
+
+* ``/chroms/{name,length}``, ``/bins/{chrom,start,weight,...}``,
+  ``/pixels/{bin1_id,bin2_id,count}``, ``/indexes/{chrom_offset,bin1_offset}``
+* ``.mcool`` files address a resolution via ``/resolutions/<res>/...``
+
+Band fetches use the ``bin1_offset`` index to read exactly the pixel rows
+of the requested chromosome, then filter to the diagonal band — this is
+equivalent to (and replaces) the reference's overlapping-window walk with
+Python set-difference dedup (mustache.py:411-457), which existed only to
+work around cooler's dense-window API.
+
+Balancing matches ``cooler.matrix(balance=...)``: value = count *
+weight[bin1] * weight[bin2]; NaN weights produce NaN values which the
+caller's positivity filter drops (the reference reaches the same end state
+through nan_to_num + ``val > 0``, mustache.py:427-487).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover - h5py is available in CI/prod images
+    h5py = None
+
+
+def _require_h5py():
+    if h5py is None:
+        raise RuntimeError(".cool support requires h5py")
+
+
+class CoolFile:
+    """Read-only view of one resolution of a .cool/.mcool file."""
+
+    def __init__(self, path: str, resolution: int | None = None):
+        _require_h5py()
+        self.path = path
+        self._h5 = h5py.File(path, "r")
+        if path.endswith(".mcool") or "resolutions" in self._h5:
+            if resolution is None:
+                raise ValueError(".mcool requires an explicit resolution")
+            key = f"resolutions/{int(resolution)}"
+            if key not in self._h5:
+                avail = list(self._h5.get("resolutions", {}).keys())
+                raise ValueError(
+                    f"resolution {resolution} not in {path}; available: {avail}")
+            self._g = self._h5[key]
+        else:
+            self._g = self._h5
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def binsize(self) -> int:
+        return int(self._g.attrs["bin-size"])
+
+    @property
+    def chromnames(self) -> list[str]:
+        return [c.decode() if isinstance(c, bytes) else str(c)
+                for c in self._g["chroms/name"][:]]
+
+    @property
+    def chromsizes(self) -> np.ndarray:
+        return self._g["chroms/length"][:]
+
+    def chrom_index(self, name: str) -> int:
+        try:
+            return self.chromnames.index(name)
+        except ValueError:
+            raise NameError("wrong chromosome name!") from None
+
+    # -- pixels ------------------------------------------------------------
+    def _chrom_bin_range(self, name: str) -> tuple[int, int]:
+        ci = self.chrom_index(name)
+        off = self._g["indexes/chrom_offset"][:]
+        return int(off[ci]), int(off[ci + 1])
+
+    def weights(self, name: str, column: str = "weight") -> np.ndarray:
+        lo, hi = self._chrom_bin_range(name)
+        bins = self._g["bins"]
+        if column not in bins:
+            raise ValueError(f"balance column {column!r} not in {self.path}")
+        return bins[column][lo:hi].astype(np.float64)
+
+    def fetch_band(self, chrom: str, distance_bp: int,
+                   balance: str | bool = True):
+        """COO triplets (x, y, v) of the chromosome's upper-triangular
+        diagonal band, bin coords relative to the chromosome start,
+        balanced unless ``balance`` is False."""
+        res = self.binsize
+        lo, hi = self._chrom_bin_range(chrom)
+        b1off = self._g["indexes/bin1_offset"][:]
+        p0, p1 = int(b1off[lo]), int(b1off[hi])
+        px = self._g["pixels"]
+        b1 = px["bin1_id"][p0:p1].astype(np.int64)
+        b2 = px["bin2_id"][p0:p1].astype(np.int64)
+        v = px["count"][p0:p1].astype(np.float64)
+
+        keep = (b2 < hi) & (np.abs(b2 - b1) <= distance_bp / res)
+        b1, b2, v = b1[keep] - lo, b2[keep] - lo, v[keep]
+
+        if balance is not False:
+            column = "weight" if balance is True else str(balance)
+            w = self.weights(chrom, column)
+            v = v * w[b1] * w[b2]
+        v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+        pos = v > 0
+        return b1[pos], b2[pos], v[pos]
+
+    def close(self):
+        self._h5.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_cooler(path: str, distance_bp: int, chr1: str, chr2: str,
+                balance: str | bool):
+    """Reference-shaped entry point: returns (x, y, v, res)
+    (mustache.py:399-493)."""
+    clr = CoolFile(path)
+    res = clr.binsize
+    if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
+        raise NameError("wrong chromosome name!")
+    if chr1 != chr2:
+        raise NotImplementedError(
+            "inter-chromosomal analysis is not functional in the reference "
+            "(mustache.py:689-694 references an undefined variable) and is "
+            "not yet supported here")
+    bal = True if not balance else balance
+    x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
+    clr.close()
+    return x, y, v, res
+
+
+def read_mcooler(path: str, distance_bp: int, chr1: str, chr2: str, res: int,
+                 balance: str | bool):
+    """Reference-shaped entry point for .mcool (mustache.py:496-592)."""
+    clr = CoolFile(path, resolution=res)
+    if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
+        raise NameError("wrong chromosome name!")
+    if chr1 != chr2:
+        raise NotImplementedError("inter-chromosomal analysis not supported")
+    bal = True if not balance else balance
+    x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
+    clr.close()
+    return x, y, v
+
+
+def cool_chrom_list(path: str, res: int | None = None) -> list[str]:
+    """Chromosomes large enough to analyze (>1Mb), as the reference's
+    driver discovers them (mustache.py:1019-1029)."""
+    clr = CoolFile(path, resolution=res) if (
+        path.endswith(".mcool")) else CoolFile(path)
+    names = clr.chromnames
+    sizes = clr.chromsizes
+    out = [names[i] for i in range(len(names)) if sizes[i] > 1_000_000]
+    clr.close()
+    return out

@@ -194,3 +194,142 @@ def normalize_sparse_oracle(x, y, v, resolution, distance_in_px):
                 v[idx] = (v[idx] - mean) / std
                 np.nan_to_num(v, copy=False, nan=0, posinf=0, neginf=0)
     return weights
+
+
+def diff_detect_block_oracle(c1, c2, octave_values, distance_in_px, st, pt,
+                             pt2, start=0, intra=True):
+    """Differential loop calls for one dense block pair; mirrors
+    diff_mustache() semantics (diff_mustache.py:260-569)."""
+    from scipy.stats import norm
+
+    c1 = np.array(c1, dtype=np.float64)
+    c2 = np.array(c2, dtype=np.float64)
+    nz1 = np.logical_and(c1 != 0, np.triu(c1, 4))
+    nz2 = np.logical_and(c2 != 0, np.triu(c2, 4))
+    nz = np.logical_and(nz1, nz2)
+    if np.sum(nz1) < 50 or np.sum(nz2) < 50:
+        return [], [], [], []
+    c1[np.tril_indices_from(c1, 4)] = 2
+    c2[np.tril_indices_from(c2, 4)] = 2
+    if intra:
+        c1[np.triu_indices_from(c1, k=distance_in_px + 1)] = 2
+        c2[np.triu_indices_from(c2, k=distance_in_px + 1)] = 2
+    c = np.zeros(c1.shape)
+    c[nz] = c1[nz] - c2[nz]
+
+    maps = {1: (c1, nz1), 2: (c2, nz2)}
+    p_best = {m: np.ones(int(maps[m][1].sum())) * 2 for m in maps}
+    pair_best = {m: np.ones_like(p_best[m]) * 2 for m in maps}
+    sig_best = {m: np.ones_like(p_best[m]) for m in maps}
+    v_best = {m: np.zeros_like(p_best[m]) for m in maps}
+    s = 10
+
+    for o in octave_values:
+        sigmas = [o * 2 ** (k / s) for k in range(s + 2)]
+        G = {0: [scipy_blur(c, sg) for sg in sigmas[:3]]}
+        for m in maps:
+            G[m] = [scipy_blur(maps[m][0], sg) for sg in sigmas[:3]]
+        L = {k: [G[k][0] - G[k][1], G[k][1] - G[k][2]] for k in G}
+        mP = {m: max3(L[m][0]) for m in maps}
+        mC = {m: max3(L[m][1]) for m in maps}
+        Lp = {k: L[k][0] for k in L}
+        Lc = {k: L[k][1] for k in L}
+        Gn = {k: G[k][2] for k in G}
+        for i in range(3, s + 2):
+            Gc = Gn
+            Gn = {0: scipy_blur(c, sigmas[i])}
+            for m in maps:
+                Gn[m] = scipy_blur(maps[m][0], sigmas[i])
+            Ln = {k: Gc[k] - Gn[k] for k in Gc}
+
+            params = norm.fit(Lc[0][nz])
+            for m in maps:
+                cm, nzm = maps[m]
+                dist_params = expon.fit(np.abs(Lc[m][nzm]))
+                pval = 1 - expon.cdf(np.abs(Lc[m][nzm]), *dist_params)
+                diff_pval = norm.cdf(Lc[0][nzm], loc=params[0], scale=params[1])
+                np.nan_to_num(diff_pval, copy=False, posinf=1, neginf=1, nan=1)
+                diff_pval[diff_pval > 0.5] = 1 - diff_pval[diff_pval > 0.5]
+                diff_pval *= 2
+                np.nan_to_num(pval, copy=False, posinf=1, neginf=1, nan=1)
+                mN = max3(Ln[m])
+                will = np.logical_and.reduce((
+                    Lc[m][nzm] > v_best[m],
+                    Lc[m][nzm] == mC[m][nzm],
+                    np.logical_or(Lp[m][nzm] == mP[m][nzm],
+                                  Ln[m][nzm] == mN[nzm]),
+                    Lc[m][nzm] > mP[m][nzm],
+                    Lc[m][nzm] > mN[nzm],
+                ))
+                v_best[m][will] = Lc[m][nzm][will]
+                sig_best[m][will] = sigmas[i - 1]
+                p_best[m][will] = pval[will]
+                pair_best[m][will] = diff_pval[will]
+                Lp[m], Lc[m], mP[m], mC[m] = Lc[m], Ln[m], mC[m], mN
+            Lp[0], Lc[0] = Lc[0], Ln[0]
+
+    if len(p_best[1]) < 10000 or len(p_best[2]) < 10000:
+        return [], [], [], []
+    for m in maps:
+        found = p_best[m] != 2
+        p_best[m][found] = bh_fdr(p_best[m][found])
+
+    o_map, pair_map, v_map, so_map, xs, ys = {}, {}, {}, {}, {}, {}
+    for m in maps:
+        cm, nzm = maps[m]
+        o_map[m] = np.ones_like(cm); o_map[m][nzm] = p_best[m]
+        pair_map[m] = np.ones_like(cm); pair_map[m][nzm] = pair_best[m]
+        v_map[m] = np.ones_like(cm); v_map[m][nzm] = v_best[m]
+        so_map[m] = np.ones_like(cm); so_map[m][nzm] = sig_best[m]
+        x, y = np.where(o_map[m] < pt)
+        scales = so_map[m][x, y]
+        keep = x != 0
+        for i in range(len(scales)):
+            r = math.ceil(scales[i])
+            cc1 = np.sum(nzm[x[i]-r:x[i]+r+1, y[i]-r:y[i]+r+1]) / ((2*r+1)**2)
+            r = 2 * r
+            cc2 = np.sum(nzm[x[i]-r:x[i]+r+1, y[i]-r:y[i]+r+1]) / ((2*r+1)**2)
+            if cc1 < st or cc2 < 0.6:
+                keep[i] = False
+        xs[m], ys[m] = x[keep], y[keep]
+
+    if len(xs[1]) == 0 or len(xs[2]) == 0:
+        return [], [], [], []
+
+    if intra:
+        for m in maps:
+            cm = maps[m][0]
+            def diag_nzmean(k):
+                dd = np.diagonal(cm, k); dd = dd[dd != 0]
+                return np.mean(dd) if len(dd) else np.nan
+            means = np.array([diag_nzmean(int(k)) for k in (ys[m] - xs[m])])
+            with np.errstate(invalid="ignore"):
+                passing = cm[xs[m], ys[m]] > 2 * means
+            if len(passing) == 0 or np.sum(passing) == 0:
+                return [], [], [], []
+            xs[m], ys[m] = xs[m][passing], ys[m][passing]
+
+    outs = {}
+    for m in maps:
+        x, y = xs[m], ys[m]
+        lab = np.zeros((np.max(y)+2, np.max(y)+2), dtype=np.float32)
+        lab[x, y] = o_map[m][x, y] + 1
+        for dx, dy in ((1,0),(1,1),(0,1),(-1,0),(-1,-1),(0,-1),(1,-1),(-1,1)):
+            lab[x+dx, y+dy] = 2
+        nfeat = label(lab, output=lab, structure=np.ones((3, 3)))
+        rows = []
+        for lb in range(1, nfeat + 1):
+            idx = np.argwhere(lab == lb)
+            i = np.argmin(o_map[m][idx[:, 0], idx[:, 1]])
+            _x, _y = idx[i, 0], idx[i, 1]
+            rows.append([_x + start, _y + start, o_map[m][_x, _y],
+                         so_map[m][_x, _y]])
+        outs[m] = rows
+
+    diff1 = [r for r in outs[1]
+             if pair_map[1][r[0]-start, r[1]-start] < pt2
+             and v_map[1][r[0]-start, r[1]-start] > v_map[2][r[0]-start, r[1]-start]]
+    diff2 = [r for r in outs[2]
+             if pair_map[2][r[0]-start, r[1]-start] < pt2
+             and v_map[2][r[0]-start, r[1]-start] > v_map[1][r[0]-start, r[1]-start]]
+    return outs[1], diff1, outs[2], diff2

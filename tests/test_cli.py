@@ -1,0 +1,67 @@
+"""CLI surface tests (text input path, reference flag semantics)."""
+
+import numpy as np
+import pytest
+
+from mustache_tpu.cli import main, parse_args
+from synthetic import synthetic_hic
+
+
+@pytest.fixture(scope="module")
+def contact_file(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    res = 5000
+    x, y, v, anchors = synthetic_hic(2500, 200, seed=42, n_loops=40)
+    path = tmp / "contacts.txt"
+    with open(path, "w") as fh:
+        for a, b, c in zip(x, y, v):
+            fh.write(f"chr21\t{a*res}\tchr21\t{b*res}\t{c}\n")
+    return str(path), anchors
+
+
+def test_parse_args_defaults():
+    a = parse_args(["-f", "x.txt", "-r", "5kb", "-o", "out.tsv"])
+    assert a.pt == 0.2 and a.st == 0.88 and a.s_z == 1.6
+    assert a.octaves == 2 and a.s == 10 and a.nprocesses == 4
+    assert a.chromosome == "n"
+
+
+def test_cli_end_to_end(contact_file, tmp_path):
+    path, anchors = contact_file
+    out = str(tmp_path / "loops.tsv")
+    rc = main(["-f", path, "-ch", "21", "-r", "5kb", "-o", out,
+               "-d", "1Mb", "-pt", "0.2", "-st", "0.88"])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("BIN1_CHR\tBIN1_START")
+    assert len(lines) > 5
+    cols = lines[1].split("\t")
+    assert cols[0] == "21" and cols[3] == "21"
+    assert int(cols[2]) - int(cols[1]) == 5000
+    called = {(int(r.split("\t")[1]) // 5000, int(r.split("\t")[4]) // 5000)
+              for r in lines[1:]}
+    hits = sum(1 for a, b in called
+               if any(abs(a - pa) <= 2 and abs(b - pb) <= 2 for pa, pb in anchors))
+    assert hits >= 0.8 * len(called)
+
+
+def test_cli_missing_file(tmp_path, capsys):
+    rc = main(["-f", "/nonexistent", "-ch", "21", "-r", "5kb",
+               "-o", str(tmp_path / "o.tsv")])
+    assert rc == 1
+    assert "Couldn't find the specified contact files" in capsys.readouterr().out
+
+
+def test_cli_bad_resolution(contact_file, tmp_path, capsys):
+    path, _ = contact_file
+    rc = main(["-f", path, "-ch", "21", "-r", "bogus",
+               "-o", str(tmp_path / "o.tsv")])
+    assert rc == 1
+    assert "Invalid resolution" in capsys.readouterr().out
+
+
+def test_cli_text_requires_chromosome(contact_file, tmp_path, capsys):
+    path, _ = contact_file
+    rc = main(["-f", path, "-r", "5kb", "-o", str(tmp_path / "o.tsv")])
+    assert rc == 1
+    assert "chromosome name" in capsys.readouterr().out

@@ -1,0 +1,88 @@
+"""Native .hic reader round-trip tests (v8 and v9 writers)."""
+
+import numpy as np
+import pytest
+
+from mustache_tpu.io.hic import HicFile, read_hic_file
+from hic_writer import write_hic
+from synthetic import synthetic_hic
+
+
+def make_pixels(n=400, d_px=80, seed=81):
+    x, y, v, _ = synthetic_hic(n, d_px, seed=seed, n_loops=5)
+    v = np.round(v)  # integral counts as in raw .hic observed matrices
+    keep = v > 0
+    return x[keep], y[keep], v[keep]
+
+
+@pytest.mark.parametrize("version", [8, 9])
+def test_header_roundtrip(tmp_path, version):
+    x, y, v = make_pixels()
+    path = str(tmp_path / f"t{version}.hic")
+    write_hic(path, [("chr1", 400 * 5000), ("chr2", 250 * 5000)], 5000,
+              {"chr1": (x, y, v)}, version=version)
+    hic = HicFile(path)
+    assert hic.version == version
+    assert [c.name for c in hic.chromosomes] == ["All", "chr1", "chr2"]
+    assert hic.chromosomes[1].length == 400 * 5000
+    assert hic.resolutions == [5000]
+    assert hic.genome == "testgenome"
+
+
+@pytest.mark.parametrize("version", [8, 9])
+@pytest.mark.parametrize("short_counts", [False, True])
+def test_fetch_roundtrip(tmp_path, version, short_counts):
+    x, y, v = make_pixels()
+    path = str(tmp_path / "t.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)},
+              version=version, use_short_counts=short_counts)
+    hic = HicFile(path)
+    X, Y, V = hic.fetch_chromosome("chr1", 5000)
+    got = {(a, b): c for a, b, c in zip(X, Y, V)}
+    want = {(a, b): c for a, b, c in zip(x, y, v)}
+    assert got == want
+
+
+def test_fetch_with_norm_vector(tmp_path):
+    x = np.array([10, 11, 40]); y = np.array([20, 30, 90])
+    v = np.array([10.0, 20.0, 30.0])
+    w = np.ones(400); w[10] = 2.0; w[20] = 4.0; w[40] = np.nan
+    path = str(tmp_path / "n.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)},
+              norms={("KR", "chr1"): w})
+    hic = HicFile(path)
+    X, Y, V = hic.fetch_chromosome("chr1", 5000, norm="KR")
+    got = {(a, b): c for a, b, c in zip(X, Y, V)}
+    assert got[(10, 20)] == 10.0 / (2.0 * 4.0)
+    assert got[(11, 30)] == 20.0
+    assert np.isnan(got[(40, 90)])          # NaN factor propagates
+
+
+def test_read_hic_file_reference_shape(tmp_path):
+    x, y, v = make_pixels()
+    w = np.ones(400)
+    path = str(tmp_path / "r.hic")
+    write_hic(path, [("chr21", 400 * 5000)], 5000, {"chr21": (x, y, v)},
+              norms={("KR", "chr21"): w})
+    X, Y, V = read_hic_file(path, False, False, 50 * 5000, "21", "21", 5000)
+    assert len(V) > 0
+    assert (np.abs(X - Y) <= 50).all()       # band filter applied
+    assert (V > 0).all()
+    # default norm is KR (mustache.py:328); missing norm must raise
+    with pytest.raises(ValueError):
+        read_hic_file(path, "VC", False, 50 * 5000, "21", "21", 5000)
+
+
+def test_missing_chromosome_raises(tmp_path):
+    x, y, v = make_pixels()
+    path = str(tmp_path / "m.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)})
+    with pytest.raises(NameError):
+        HicFile(path).fetch_chromosome("chr9", 5000)
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "x.hic"
+    p.write_bytes(b"NOPE" + b"\0" * 100)
+    with pytest.raises(ValueError):
+        HicFile(str(p))

@@ -64,10 +64,14 @@ def measure_engine():
     t0 = time.time()
     loops = run_engine(x, y, v, cfg)        # includes compile
     cold = time.time() - t0
-    t0 = time.time()
-    loops = run_engine(x, y, v, cfg)        # warm
-    warm = time.time() - t0
-    print(f"# engine: {len(loops)} loops; cold {cold:.1f}s warm {warm:.2f}s "
+    warms = []
+    for _ in range(3):                       # tunneled-TPU latency is noisy
+        t0 = time.time()
+        loops = run_engine(x, y, v, cfg)
+        warms.append(time.time() - t0)
+    warm = min(warms)
+    print(f"# engine: {len(loops)} loops; cold {cold:.1f}s "
+          f"warm {'/'.join(f'{w:.2f}' for w in warms)}s "
           f"backend={jax.default_backend()}", file=sys.stderr)
     return CHR21_MB / warm, loops
 

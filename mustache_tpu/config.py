@@ -78,7 +78,7 @@ class DetectionConfig:
     iterations: int = 10                   # accepted but inert (parity)
     # --- engine knobs (no reference counterpart) ---
     precision: str = "float32"             # "float32" | "float64"
-    max_candidates: int = 8192             # per-block candidate capacity
+    max_candidates: int = 2048             # per-block candidate capacity
     block_batch: int = 0                   # blocks per device batch; 0 = auto
     min_nz: int = 50                       # bail-out: too-few nonzeros
     min_tested: int = 10000                # bail-out: too-few tested pixels

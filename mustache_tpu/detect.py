@@ -105,14 +105,15 @@ def _bh_logq(logp_flat, n_tested):
     q_i = cummin_{j>=i}(p_(j) * n / j), clipped at 1 (=0 in log space).
     """
     dtype = logp_flat.dtype
-    M = logp_flat.shape[0]
     order = jnp.argsort(logp_flat)
     slp = logp_flat[order]
-    ranks = jnp.arange(M, dtype=dtype) + 1.0
+    # ranks via cumsum keeps the graph free of large device constants
+    # (f32 cumsum of ones is exact below 2^24 elements; f64 always)
+    ranks = jnp.cumsum(jnp.ones_like(slp))
     q = slp + jnp.log(n_tested.astype(dtype)) - jnp.log(ranks)
     q = lax.cummin(q, axis=0, reverse=True)
     q = jnp.minimum(q, 0.0)
-    return jnp.zeros(M, dtype).at[order].set(q)
+    return jnp.zeros_like(logp_flat).at[order].set(q)
 
 
 def _diag_nz_means(c):
@@ -123,11 +124,16 @@ def _diag_nz_means(c):
     the reference's per-candidate ``diag_mean`` (mustache.py:816-823).
     """
     N = c.shape[0]
-    rows = jnp.arange(N, dtype=jnp.int32)
-    cols = (rows[:, None] + rows[None, :]) % N
+    # derive the NxN shear index lazily (adding a traced zero) so no large
+    # device constant is created at trace time — materializing one forces a
+    # device round-trip per constant during lowering, which is pathological
+    # on tunneled TPU backends
+    rows_np = np.arange(N, dtype=np.int32)
+    zero_i = jnp.zeros_like(c, dtype=jnp.int32)
+    ij = zero_i + rows_np[:, None] + rows_np[None, :]
+    cols = ij % N
     A = jnp.take_along_axis(c, cols, axis=1)
-    valid = (rows[:, None] + rows[None, :]) < N
-    occupied = valid & (A != 0)
+    occupied = (ij < N) & (A != 0)
     dsum = jnp.sum(jnp.where(occupied, A, 0), axis=0)
     dcnt = jnp.sum(occupied, axis=0).astype(c.dtype)
     return dsum / dcnt  # NaN where a diagonal has no nonzeros
@@ -155,124 +161,230 @@ class BlockDetector:
     cfg: DetectionConfig
     spec: LadderSpec
     n: int
-    fn: Any          # jitted [B, N, N] -> dict of arrays
-    fn_single: Any   # jitted [N, N] -> dict of arrays
+    _fn: Any         # jitted ([B, N, N], st, log_pt) -> dict of arrays
+    _fn_single: Any  # jitted ([N, N], st, log_pt) -> dict of arrays
+
+    @property
+    def _scalars(self):
+        dt = np.float64 if self.cfg.precision == "float64" else np.float32
+        return dt(self.cfg.st), dt(math.log(self.cfg.pt))
+
+    def fn(self, blocks):
+        st, lp = self._scalars
+        return self._fn(blocks, st, lp)
+
+    def fn_single(self, block):
+        st, lp = self._scalars
+        return self._fn_single(block, st, lp)
 
     def __call__(self, blocks):
         return self.fn(blocks)
 
 
-def _detect_one(c, *, kernels, det_ceil, n_planes, planes_per_octave,
-                n_octaves, d_px, intra, st, log_pt, K):
+def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
+                planes_per_octave, n_octaves, d_px, intra, K, _stage=None):
+    # st / log_pt are runtime scalars so threshold changes never recompile
     dtype = c.dtype
+    st = st.astype(dtype)
+    log_pt = log_pt.astype(dtype)
     N = c.shape[0]
-    rows = jnp.arange(N, dtype=jnp.int32)
-    diag = rows[None, :] - rows[:, None]          # y - x
+    # all index arrays are derived lazily from traced zeros (see
+    # _diag_nz_means) — eager device constants stall tunneled lowering
+    rows_np = np.arange(N, dtype=np.int32)
+    diag = (jnp.zeros_like(c, dtype=jnp.int32)
+            + rows_np[None, :] - rows_np[:, None])   # y - x
 
     nz = (c != 0) & (diag >= 4)
     nz_count = jnp.sum(nz, dtype=jnp.int32)
 
+    sent = dtype.type(SENTINEL)
+    pinf = dtype.type(np.inf)
+
     # sentinel fill (mustache.py:703-706)
-    c = jnp.where(diag <= 4, jnp.asarray(SENTINEL, dtype), c)
+    c = jnp.where(diag <= 4, sent, c)
     if intra:
-        c = jnp.where(diag >= d_px + 1, jnp.asarray(SENTINEL, dtype), c)
+        c = jnp.where(diag >= d_px + 1, sent, c)
 
     G = _blur_ladder(c, kernels)                  # [S, N, N]
 
-    nzf = nz.astype(dtype)
-    ninf = jnp.asarray(-jnp.inf, dtype)
-    pinf = jnp.asarray(jnp.inf, dtype)
+    # ---- band space -----------------------------------------------------
+    # After the convolution everything lives on the diagonal band:
+    # band[i, d] <-> dense[i, i+d]. Data only exists for 0 <= y-x <= d_px+1
+    # (the ingest distance filter), so the NMS scan, BH sort, selection,
+    # and filters all touch 5-20x fewer pixels than the dense [N, N] map.
+    # Width = data rows + stencil halo, rounded up to the 128-lane tile so
+    # band arrays stay layout-aligned on TPU.
+    Dl = min(-(-min(d_px + 4, N) // 128) * 128, N)
 
-    best_v = jnp.zeros((N, N), dtype)
-    best_logp = jnp.full((N, N), pinf, dtype)     # +inf == "never detected"
-    best_sigidx = jnp.full((N, N), -1, jnp.int32)
+    band_dl = (jnp.zeros_like(c[:, :Dl], dtype=jnp.int32)
+               + np.arange(Dl, dtype=np.int32)[None, :])
+    band_il = (jnp.zeros_like(band_dl)
+               + np.arange(N, dtype=np.int32)[:, None])
+    band_yl = band_il + band_dl
+    band_validl = band_yl < N
 
-    plane = 0
+    def shear(dense, fill):
+        """band[i, d] = dense[i, i+d] via the flat [N, N+1] reinterpret
+        trick (row i of the widened view starts one element later per row,
+        which walks the diagonals) — a strided read, no gather."""
+        flat = dense.reshape(-1)
+        ext = jnp.concatenate([flat, flat[:N]])
+        b = ext[: N * (N + 1)].reshape(N, N + 1)[:, :Dl]
+        return jnp.where(band_validl, b, fill)
+
+    Gb = jax.vmap(lambda g: shear(g, dtype.type(0.0)))(G)  # [S, N, Dl]
+    if _stage == "conv":
+        return {"s": jnp.sum(G)}
+    if _stage == "shear":
+        return {"s": jnp.sum(Gb)}
+    nzb = shear(nz, False)
+    nzbf = nzb.astype(dtype)
+    inv_count = 1.0 / jnp.maximum(nz_count, 1).astype(dtype)
+
+    def _shift2(a, di, dd):
+        """a[i+di, d+dd], zero-filled outside the array."""
+        out = a
+        if di > 0:
+            out = jnp.concatenate([out[di:], jnp.zeros_like(out[:di])], 0)
+        elif di < 0:
+            out = jnp.concatenate([jnp.zeros_like(out[di:]), out[:di]], 0)
+        if dd > 0:
+            out = jnp.concatenate([out[:, dd:], jnp.zeros_like(out[:, :dd])], 1)
+        elif dd < 0:
+            out = jnp.concatenate([jnp.zeros_like(out[:, dd:]), out[:, :dd]], 1)
+        return out
+
+    def max3x3_band(Lb):
+        """Dense 3x3 constant-0 maximum filter, evaluated in band coords:
+        dense (x+dx, y+dy) = band (i+dx, d-dx+dy); taps outside the dense
+        matrix contribute the 0 pad. Only rows [3, d_px+2] are exact (the
+        halo needed by the detection rows); outer rows are never read."""
+        m = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                term = _shift2(Lb, dx, dy - dx)
+                yv = band_yl + dy
+                valid = ((band_il + dx >= 0) & (band_il + dx < N)
+                         & (yv >= 0) & (yv < N))
+                term = jnp.where(valid, term, dtype.type(0.0))
+                m = term if m is None else jnp.maximum(m, term)
+        return m
+
+    best_v = jnp.zeros_like(nzbf)
+    best_logp = jnp.full_like(nzbf, pinf)         # +inf == "never detected"
+    best_sigidx = jnp.full_like(band_dl, -1)
+
+    def step(carry, xs):
+        Lp, Lc, mP, mC, best_v, best_logp, best_sigidx = carry
+        Ln, plane = xs
+        mN = max3x3_band(Ln)
+        abs_lc = jnp.abs(Lc)
+        # exponential-tail MLE on |Lc[nz]|: loc=min, scale=mean-min
+        loc = jnp.min(jnp.where(nzb, abs_lc, pinf))
+        mean = jnp.sum(abs_lc * nzbf) * inv_count
+        scale = mean - loc
+        logp = -(abs_lc - loc) / scale            # log of the survival prob
+
+        will = (
+            nzb
+            & (Lc > best_v)
+            & (Lc == mC)
+            & ((Lp == mP) | (Ln == mN))
+            & (Lc > mP)
+            & (Lc > mN)
+        )
+        best_v = jnp.where(will, Lc, best_v)
+        best_logp = jnp.where(will, logp, best_logp)
+        best_sigidx = jnp.where(will, plane, best_sigidx)
+        return (Lc, Ln, mC, mN, best_v, best_logp, best_sigidx), None
+
     for o in range(n_octaves):
-        Go = G[o * 12:(o + 1) * 12]
-        L = Go[:-1] - Go[1:]                      # [11, N, N]
-        mP = _max3x3(L[0])
-        mC = _max3x3(L[1])
-        Lp, Lc = L[0], L[1]
-        for j in range(1, planes_per_octave + 1):
-            Ln = L[j + 1]
-            mN = _max3x3(Ln)
-            abs_lc = jnp.abs(Lc)
-            # exponential-tail MLE on |Lc[nz]|: loc=min, scale=mean-min
-            loc = jnp.min(jnp.where(nz, abs_lc, pinf))
-            mean = jnp.sum(abs_lc * nzf) / jnp.maximum(nz_count, 1).astype(dtype)
-            scale = mean - loc
-            logp = -(abs_lc - loc) / scale        # log of the survival prob
+        Go = Gb[o * 12:(o + 1) * 12]
+        L = Go[:-1] - Go[1:]                      # [11, N, Dl]
+        planes = np.arange(o * planes_per_octave,
+                           (o + 1) * planes_per_octave, dtype=np.int32)
+        carry = (L[0], L[1], max3x3_band(L[0]), max3x3_band(L[1]),
+                 best_v, best_logp, best_sigidx)
+        carry, _ = lax.scan(step, carry, (L[2:], planes))
+        best_v, best_logp, best_sigidx = carry[4:]
 
-            will = (
-                nz
-                & (Lc > best_v)
-                & (Lc == mC)
-                & ((Lp == mP) | (Ln == mN))
-                & (Lc > mP)
-                & (Lc > mN)
-            )
-            best_v = jnp.where(will, Lc, best_v)
-            best_logp = jnp.where(will, logp, best_logp)
-            best_sigidx = jnp.where(will, plane, best_sigidx)
-            Lp, Lc, mP, mC = Lc, Ln, mC, mN
-            plane += 1
+    if _stage == "scan":
+        return {"s": jnp.sum(best_v) + jnp.sum(best_logp * 0) + jnp.sum(best_sigidx)}
+    band_valid = band_validl
+    band_logp = best_logp
+    band_sigidx = best_sigidx
+    band_nz = nzb
+    band_c = shear(c, dtype.type(0.0))            # post-sentinel values
 
-    found = nz & (best_logp < pinf)
+    found = band_nz & (band_logp < pinf)
     n_tested = jnp.sum(found, dtype=jnp.int32)
+    logq_flat = _bh_logq(
+        jnp.where(found, band_logp, pinf).reshape(-1), n_tested)
 
-    logp_flat = jnp.where(found, best_logp, pinf).reshape(-1)
-    logq_flat = _bh_logq(logp_flat, n_tested)
-
-    # dense q map in log space: 0 (=log 1) outside nz, log 2 untested
-    o_flat = jnp.where(
+    # band q map in log space: 0 (=log 1) in-bounds outside nz, log 2
+    # untested, +inf on out-of-matrix padding (never selectable)
+    if _stage == "bh":
+        return {"s": jnp.sum(logq_flat)}
+    o_band = jnp.where(
         found.reshape(-1), logq_flat,
-        jnp.where(nz.reshape(-1), jnp.asarray(LOG2, dtype), jnp.asarray(0.0, dtype)),
-    )
-    sig_count = jnp.sum(o_flat < log_pt, dtype=jnp.int32)
+        jnp.where(band_nz.reshape(-1), dtype.type(LOG2),
+                  jnp.where(band_valid.reshape(-1), dtype.type(0.0), pinf)),
+    ).reshape(N, Dl)
+    sig_count = jnp.sum(o_band < log_pt, dtype=jnp.int32)
 
-    neg_topk, flat_idx = lax.top_k(-o_flat, K)
+    neg_topk, flat_idx = lax.top_k(-o_band.reshape(-1), K)
     cand_logq = -neg_topk
     cand_valid = cand_logq < log_pt
-    cx = (flat_idx // N).astype(jnp.int32)
-    cy = (flat_idx % N).astype(jnp.int32)
+    cx = (flat_idx // Dl).astype(jnp.int32)
+    cd = (flat_idx % Dl).astype(jnp.int32)
+    cy = cx + cd
 
-    sigidx_dense = jnp.where(nz, best_sigidx, -1)
-    cand_sigidx = sigidx_dense.reshape(-1)[flat_idx]
+    band_sigidx = jnp.where(band_nz, band_sigidx, -1)
+    cand_sigidx = band_sigidx.reshape(-1)[flat_idx]
 
-    # sparsity filter via integral image of nz
+    # sparsity filter via integral image of dense nz (windows are dense
+    # axis-aligned boxes)
     ii = jnp.pad(
         jnp.cumsum(jnp.cumsum(nz.astype(jnp.int32), 0), 1), ((1, 0), (1, 0))
     )
-    ceil_table = jnp.asarray(det_ceil, jnp.int32)
-    s1 = jnp.where(cand_sigidx >= 0, ceil_table[jnp.maximum(cand_sigidx, 0)], 1)
+    # lift the tiny ceil table into the graph via a traced zero (keeps it a
+    # jaxpr literal instead of an eagerly-created device constant)
+    ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
+    s1 = jnp.where(cand_sigidx >= 0,
+                   jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
     c1 = _box_counts(ii, cx, cy, s1, N).astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype)
     s2 = 2 * s1
     c2 = _box_counts(ii, cx, cy, s2, N).astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype)
     pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
 
-    # enrichment filter (intra-chromosomal only)
-    if intra:
-        dmeans = _diag_nz_means(c)
-        cand_mean = dmeans[jnp.clip(cy - cx, 0, N - 1)]
-        pass_enrich = c[cx, cy] > 2 * cand_mean   # NaN mean => False
-    else:
-        pass_enrich = jnp.ones((K,), bool)
+    # enrichment filter: candidate > 2 * nonzero-mean of its diagonal,
+    # computed on the sentinel-filled map (mustache.py:816-828). Band
+    # column d IS diagonal d, so this is a masked column mean.
+    occupied = band_valid & (band_c != 0)
+    dmeans = (jnp.sum(jnp.where(occupied, band_c, 0), axis=0)
+              / jnp.sum(occupied, axis=0).astype(dtype))  # NaN when empty
+    cand_mean = dmeans[jnp.clip(cd, 0, Dl - 1)]
+    cand_c = band_c.reshape(-1)[flat_idx]
+    pass_enrich = cand_c > 2 * cand_mean      # NaN mean => False
 
     cand_pass = cand_valid & pass_sparse & pass_enrich
 
-    # 8-neighborhood q/scale export for host-side clustering
-    offs = jnp.array([-1, 0, 1], jnp.int32)
-    nxs = cx[:, None, None] + offs[None, :, None]   # [K, 3, 1]
-    nys = cy[:, None, None] + offs[None, None, :]   # [K, 1, 3]
-    nx = jnp.broadcast_to(nxs, (K, 3, 3))
-    ny = jnp.broadcast_to(nys, (K, 3, 3))
-    oob = (nx < 0) | (nx >= N) | (ny < 0) | (ny >= N)
+    # 8-neighborhood q/scale export for host-side clustering. Dense
+    # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); neighbors beyond
+    # the band but inside the matrix carry q=1 (log 0); outside the matrix
+    # +inf (cannot win the component argmin).
+    offs = np.array([-1, 0, 1], np.int32)
+    nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
+    ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
+    nd = ny - nx
+    inside = (nx >= 0) & (nx < N) & (ny >= 0) & (ny < N)
+    in_band = inside & (nd >= 0) & (nd < Dl)
     nxc = jnp.clip(nx, 0, N - 1)
-    nyc = jnp.clip(ny, 0, N - 1)
-    o_dense = o_flat.reshape(N, N)
-    neigh_logq = jnp.where(oob, pinf, o_dense[nxc, nyc])
-    neigh_sigidx = jnp.where(oob, -1, sigidx_dense[nxc, nyc])
+    ndc = jnp.clip(nd, 0, Dl - 1)
+    neigh_logq = jnp.where(
+        in_band, o_band[nxc, ndc],
+        jnp.where(inside, dtype.type(0.0), pinf))
+    neigh_sigidx = jnp.where(in_band, band_sigidx[nxc, ndc], -1)
 
     return {
         "nz_count": nz_count,
@@ -281,45 +393,50 @@ def _detect_one(c, *, kernels, det_ceil, n_planes, planes_per_octave,
         "cand_x": cx,
         "cand_y": cy,
         "cand_logq": cand_logq,
-        "cand_sigidx": cand_sigidx,
+        "cand_sigidx": cand_sigidx.astype(jnp.int8),
         "cand_pass": cand_pass,
         "cand_valid": cand_valid,
         "neigh_logq": neigh_logq,
-        "neigh_sigidx": neigh_sigidx,
+        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
     }
 
 
 @functools.lru_cache(maxsize=32)
-def _build_detector_cached(cfg: DetectionConfig, n: int, intra: bool,
-                           max_candidates: int) -> BlockDetector:
-    spec = build_ladder(cfg.octave_values)
-    dtype = jnp.float64 if cfg.precision == "float64" else jnp.float32
-    kernels = jnp.asarray(spec.kernels, dtype)
+def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
+                           n: int, max_candidates: int):
+    spec = build_ladder(octave_values)
+    dtype = jnp.float64 if precision == "float64" else jnp.float32
+    kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
     kw = dict(
         det_ceil=spec.det_ceil,
         n_planes=spec.n_planes,
         planes_per_octave=spec.planes_per_octave,
-        n_octaves=len(cfg.octave_values),
-        d_px=cfg.distance_px,
-        intra=intra,
-        st=dtype(cfg.st),
-        log_pt=dtype(math.log(cfg.pt)),
+        n_octaves=len(octave_values),
+        d_px=d_px,
+        intra=True,
         K=max_candidates,
     )
 
-    def one(c):
-        return _detect_one(c.astype(dtype), kernels=kernels, **kw)
+    def one(c, st, log_pt):
+        return _detect_one(c.astype(dtype), st, log_pt, kernels=kernels, **kw)
 
-    fn = jax.jit(jax.vmap(one))
+    fn = jax.jit(jax.vmap(one, in_axes=(0, None, None)))
     fn_single = jax.jit(one)
-    return BlockDetector(cfg=cfg, spec=spec, n=n, fn=fn, fn_single=fn_single)
+    return spec, fn, fn_single
 
 
 def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
                    max_candidates: int | None = None) -> BlockDetector:
-    return _build_detector_cached(
-        cfg, n, intra, max_candidates or cfg.max_candidates
-    )
+    if not intra:
+        # the reference's inter-chromosomal path is non-functional
+        # (mustache.py:689-694 references an undefined variable); the band
+        # layout here additionally assumes the intra distance bound
+        raise NotImplementedError("inter-chromosomal detection not supported")
+    # cache key holds only graph-shaping fields: thresholds are runtime args
+    spec, fn, fn_single = _build_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        max_candidates or cfg.max_candidates)
+    return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single)
 
 
 # ---------------------------------------------------------------------------

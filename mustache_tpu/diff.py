@@ -37,7 +37,7 @@ def _map_outputs(tag, *, nz, o_flat, sigidx_dense, pair_dense, v1_dense,
                  v2_dense, c, ii, ceil_table, st, log_pt, K, N, intra):
     """Candidate table for one condition: selection, filters, neighborhoods."""
     dtype = o_flat.dtype
-    pinf = jnp.asarray(jnp.inf, dtype)
+    pinf = dtype.type(np.inf)
     sig_count = jnp.sum(o_flat < log_pt, dtype=jnp.int32)
     neg_topk, flat_idx = lax.top_k(-o_flat, K)
     cand_logq = -neg_topk
@@ -57,9 +57,9 @@ def _map_outputs(tag, *, nz, o_flat, sigidx_dense, pair_dense, v1_dense,
         cand_mean = dmeans[jnp.clip(cy - cx, 0, N - 1)]
         pass_enrich = c[cx, cy] > 2 * cand_mean
     else:
-        pass_enrich = jnp.ones((K,), bool)
+        pass_enrich = jnp.ones_like(cand_valid)
 
-    offs = jnp.array([-1, 0, 1], jnp.int32)
+    offs = np.array([-1, 0, 1], np.int32)
     nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
     ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
     oob = (nx < 0) | (nx >= N) | (ny < 0) | (ny >= N)
@@ -78,17 +78,20 @@ def _map_outputs(tag, *, nz, o_flat, sigidx_dense, pair_dense, v1_dense,
         f"neigh_logq{tag}": jnp.where(oob, pinf, o_dense[nxc, nyc]),
         f"neigh_sigidx{tag}": jnp.where(oob, -1, sigidx_dense[nxc, nyc]),
         f"neigh_pair{tag}": jnp.where(oob, pinf, pair_dense[nxc, nyc]),
-        f"neigh_v1{tag}": jnp.where(oob, jnp.asarray(1.0, dtype), v1_dense[nxc, nyc]),
-        f"neigh_v2{tag}": jnp.where(oob, jnp.asarray(1.0, dtype), v2_dense[nxc, nyc]),
+        f"neigh_v1{tag}": jnp.where(oob, dtype.type(1.0), v1_dense[nxc, nyc]),
+        f"neigh_v2{tag}": jnp.where(oob, dtype.type(1.0), v2_dense[nxc, nyc]),
     }
 
 
-def _diff_detect_one(c1, c2, *, kernels, det_ceil, planes_per_octave,
-                     n_octaves, d_px, intra, st, log_pt, K):
+def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
+                     planes_per_octave, n_octaves, d_px, intra, K):
     dtype = c1.dtype
+    st = st.astype(dtype)
+    log_pt = log_pt.astype(dtype)
     N = c1.shape[0]
-    rows = jnp.arange(N, dtype=jnp.int32)
-    diag = rows[None, :] - rows[:, None]
+    rows_np = np.arange(N, dtype=np.int32)
+    diag = (jnp.zeros_like(c1, dtype=jnp.int32)
+            + rows_np[None, :] - rows_np[:, None])
 
     nz1 = (c1 != 0) & (diag >= 4)
     nz2 = (c2 != 0) & (diag >= 4)
@@ -96,26 +99,26 @@ def _diff_detect_one(c1, c2, *, kernels, det_ceil, planes_per_octave,
     nz1_count = jnp.sum(nz1, dtype=jnp.int32)
     nz2_count = jnp.sum(nz2, dtype=jnp.int32)
 
-    sent = jnp.asarray(SENTINEL, dtype)
+    sent = dtype.type(SENTINEL)
     c1 = jnp.where(diag <= 4, sent, c1)
     c2 = jnp.where(diag <= 4, sent, c2)
     if intra:
         c1 = jnp.where(diag >= d_px + 1, sent, c1)
         c2 = jnp.where(diag >= d_px + 1, sent, c2)
-    cd = jnp.where(nz, c1 - c2, jnp.asarray(0.0, dtype))
+    cd = jnp.where(nz, c1 - c2, dtype.type(0.0))
 
     G = _blur_ladder(jnp.stack([cd, c1, c2]), kernels)  # [3, S, N, N]
 
-    pinf = jnp.asarray(jnp.inf, dtype)
-    zero = jnp.asarray(0.0, dtype)
+    pinf = dtype.type(np.inf)
+    zero = dtype.type(0.0)
 
     state = {}
     for m in (1, 2):
         state[m] = dict(
-            best_v=jnp.zeros((N, N), dtype),
-            best_logp=jnp.full((N, N), pinf, dtype),
-            best_pair=jnp.full((N, N), jnp.asarray(SENTINEL, dtype), dtype),
-            best_sigidx=jnp.full((N, N), -1, jnp.int32),
+            best_v=jnp.zeros_like(c1),
+            best_logp=jnp.full_like(c1, pinf),
+            best_pair=jnp.full_like(c1, dtype.type(SENTINEL)),
+            best_sigidx=jnp.full_like(diag, -1),
         )
     nzm = {1: nz1, 2: nz2}
     nzf = {1: nz1.astype(dtype), 2: nz2.astype(dtype)}
@@ -124,57 +127,72 @@ def _diff_detect_one(c1, c2, *, kernels, det_ceil, planes_per_octave,
     nzd_f = nz.astype(dtype)
     nzd_c = jnp.maximum(jnp.sum(nz, dtype=jnp.int32), 1).astype(dtype)
 
-    plane = 0
+    def step(carry, xs):
+        roll, st1, st2 = carry
+        Lcd, Ln1, Ln2, plane = xs
+        # folded-normal differential p on the difference-map plane,
+        # fit on the joint support (diff_mustache.py:371-385)
+        mu = jnp.sum(Lcd * nzd_f) / nzd_c
+        var = jnp.sum((Lcd - mu) ** 2 * nzd_f) / nzd_c
+        sd = jnp.sqrt(var)
+        phi = jax.scipy.stats.norm.cdf(Lcd, loc=mu, scale=sd)
+        phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
+        diff_p = jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0
+
+        new_roll = []
+        new_states = []
+        for m, st_m, Ln in ((1, st1, Ln1), (2, st2, Ln2)):
+            Lp, Lc, mP, mC = roll[4 * (m - 1):4 * m]
+            mN = _max3x3(Ln)
+            abs_lc = jnp.abs(Lc)
+            loc = jnp.min(jnp.where(nzm[m], abs_lc, pinf))
+            mean = jnp.sum(abs_lc * nzf[m]) / nzc[m]
+            scale = mean - loc
+            logp = -(abs_lc - loc) / scale
+            # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
+            logp = jnp.where(jnp.isnan(logp), zero, logp)
+
+            will = (
+                nzm[m]
+                & (Lc > st_m[0])
+                & (Lc == mC)
+                & ((Lp == mP) | (Ln == mN))
+                & (Lc > mP)
+                & (Lc > mN)
+            )
+            new_states.append((
+                jnp.where(will, Lc, st_m[0]),
+                jnp.where(will, logp, st_m[1]),
+                jnp.where(will, diff_p, st_m[2]),
+                jnp.where(will, plane, st_m[3]),
+            ))
+            new_roll.extend((Lc, Ln, mC, mN))
+        return (tuple(new_roll), new_states[0], new_states[1]), None
+
+    states = {m: (state[m]["best_v"], state[m]["best_logp"],
+                  state[m]["best_pair"], state[m]["best_sigidx"])
+              for m in (1, 2)}
     for o in range(n_octaves):
         Gd = G[0, o * 12:(o + 1) * 12]
         G1 = G[1, o * 12:(o + 1) * 12]
         G2 = G[2, o * 12:(o + 1) * 12]
         Ld = Gd[:-1] - Gd[1:]
-        L = {1: G1[:-1] - G1[1:], 2: G2[:-1] - G2[1:]}
-        mP = {m: _max3x3(L[m][0]) for m in (1, 2)}
-        mC = {m: _max3x3(L[m][1]) for m in (1, 2)}
-        Lp = {m: L[m][0] for m in (1, 2)}
-        Lc = {m: L[m][1] for m in (1, 2)}
-        for j in range(1, planes_per_octave + 1):
-            # folded-normal differential p on the difference-map plane,
-            # fit on the joint support (diff_mustache.py:371-385)
-            Lcd = Ld[j]
-            mu = jnp.sum(Lcd * nzd_f) / nzd_c
-            var = jnp.sum((Lcd - mu) ** 2 * nzd_f) / nzd_c
-            sd = jnp.sqrt(var)
-            phi = jax.scipy.stats.norm.cdf(Lcd, loc=mu, scale=sd)
-            phi = jnp.where(jnp.isnan(phi), jnp.asarray(1.0, dtype), phi)
-            diff_p = jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0
-
-            for m in (1, 2):
-                Ln = L[m][j + 1]
-                mN = _max3x3(Ln)
-                abs_lc = jnp.abs(Lc[m])
-                loc = jnp.min(jnp.where(nzm[m], abs_lc, pinf))
-                mean = jnp.sum(abs_lc * nzf[m]) / nzc[m]
-                scale = mean - loc
-                logp = -(abs_lc - loc) / scale
-                # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
-                logp = jnp.where(jnp.isnan(logp), zero, logp)
-
-                st_m = state[m]
-                will = (
-                    nzm[m]
-                    & (Lc[m] > st_m["best_v"])
-                    & (Lc[m] == mC[m])
-                    & ((Lp[m] == mP[m]) | (Ln == mN))
-                    & (Lc[m] > mP[m])
-                    & (Lc[m] > mN)
-                )
-                st_m["best_v"] = jnp.where(will, Lc[m], st_m["best_v"])
-                st_m["best_logp"] = jnp.where(will, logp, st_m["best_logp"])
-                st_m["best_pair"] = jnp.where(will, diff_p, st_m["best_pair"])
-                st_m["best_sigidx"] = jnp.where(will, plane, st_m["best_sigidx"])
-                Lp[m], Lc[m], mP[m], mC[m] = Lc[m], Ln, mC[m], mN
-            plane += 1
+        L1 = G1[:-1] - G1[1:]
+        L2 = G2[:-1] - G2[1:]
+        planes = np.arange(o * planes_per_octave,
+                           (o + 1) * planes_per_octave, dtype=np.int32)
+        roll = (L1[0], L1[1], _max3x3(L1[0]), _max3x3(L1[1]),
+                L2[0], L2[1], _max3x3(L2[0]), _max3x3(L2[1]))
+        carry, _ = lax.scan(
+            step, (roll, states[1], states[2]),
+            (Ld[1:planes_per_octave + 1], L1[2:], L2[2:], planes))
+        states = {1: carry[1], 2: carry[2]}
+    for m in (1, 2):
+        state[m]["best_v"], state[m]["best_logp"], state[m]["best_pair"], \
+            state[m]["best_sigidx"] = states[m]
 
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}
-    ceil_table = jnp.asarray(det_ceil, jnp.int32)
+    ceil_table = nz1_count * 0 + np.asarray(det_ceil, np.int32)
     dense = {}
     for m, cm in ((1, c1), (2, c2)):
         st_m = state[m]
@@ -184,10 +202,10 @@ def _diff_detect_one(c1, c2, *, kernels, det_ceil, planes_per_octave,
         logq_flat = _bh_logq(logp_flat, n_tested)
         o_flat = jnp.where(
             found.reshape(-1), logq_flat,
-            jnp.where(nzm[m].reshape(-1), jnp.asarray(LOG2, dtype), zero))
+            jnp.where(nzm[m].reshape(-1), dtype.type(LOG2), zero))
         sigidx_dense = jnp.where(nzm[m], st_m["best_sigidx"], -1)
-        pair_dense = jnp.where(nzm[m], st_m["best_pair"], jnp.asarray(1.0, dtype))
-        v_dense = jnp.where(nzm[m], st_m["best_v"], jnp.asarray(1.0, dtype))
+        pair_dense = jnp.where(nzm[m], st_m["best_pair"], dtype.type(1.0))
+        v_dense = jnp.where(nzm[m], st_m["best_v"], dtype.type(1.0))
         dense[m] = dict(o_flat=o_flat, sigidx=sigidx_dense, pair=pair_dense,
                         v=v_dense, found=found, cm=cm)
         out[f"n_tested{m}"] = n_tested
@@ -209,41 +227,55 @@ class DiffBlockDetector:
     cfg: DetectionConfig
     spec: LadderSpec
     n: int
-    fn: Any
-    fn_single: Any
+    _fn: Any
+    _fn_single: Any
+
+    @property
+    def _scalars(self):
+        dt = np.float64 if self.cfg.precision == "float64" else np.float32
+        return dt(self.cfg.st), dt(math.log(self.cfg.pt))
+
+    def fn(self, b1, b2):
+        st, lp = self._scalars
+        return self._fn(b1, b2, st, lp)
+
+    def fn_single(self, c1, c2):
+        st, lp = self._scalars
+        return self._fn_single(c1, c2, st, lp)
 
 
 @functools.lru_cache(maxsize=16)
-def _build_diff_detector_cached(cfg: DetectionConfig, n: int, intra: bool,
-                                max_candidates: int) -> DiffBlockDetector:
-    spec = build_ladder(cfg.octave_values)
-    dtype = jnp.float64 if cfg.precision == "float64" else jnp.float32
-    kernels = jnp.asarray(spec.kernels, dtype)
+def _build_diff_detector_cached(octave_values: tuple, precision: str,
+                                d_px: int, n: int, max_candidates: int):
+    spec = build_ladder(octave_values)
+    dtype = jnp.float64 if precision == "float64" else jnp.float32
+    kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
     kw = dict(
         det_ceil=spec.det_ceil,
         planes_per_octave=spec.planes_per_octave,
-        n_octaves=len(cfg.octave_values),
-        d_px=cfg.distance_px,
-        intra=intra,
-        st=dtype(cfg.st),
-        log_pt=dtype(math.log(cfg.pt)),
+        n_octaves=len(octave_values),
+        d_px=d_px,
+        intra=True,
         K=max_candidates,
     )
 
-    def one(c1, c2):
-        return _diff_detect_one(c1.astype(dtype), c2.astype(dtype),
-                                kernels=kernels, **kw)
+    def one(c1, c2, st, log_pt):
+        return _diff_detect_one(c1.astype(dtype), c2.astype(dtype), st,
+                                log_pt, kernels=kernels, **kw)
 
-    return DiffBlockDetector(
-        cfg=cfg, spec=spec, n=n,
-        fn=jax.jit(jax.vmap(one)), fn_single=jax.jit(one),
-    )
+    return (spec, jax.jit(jax.vmap(one, in_axes=(0, 0, None, None))),
+            jax.jit(one))
 
 
 def build_diff_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
                         max_candidates: int | None = None) -> DiffBlockDetector:
-    return _build_diff_detector_cached(
-        cfg, n, intra, max_candidates or cfg.max_candidates)
+    if not intra:
+        raise NotImplementedError("inter-chromosomal detection not supported")
+    spec, fn, fn_single = _build_diff_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        max_candidates or cfg.max_candidates)
+    return DiffBlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn,
+                             _fn_single=fn_single)
 
 
 # ---------------------------------------------------------------------------

@@ -307,19 +307,37 @@ class HicFile:
         if zoom is None:
             return (np.array([], np.int64), np.array([], np.int64),
                     np.array([], np.float64))
-        xs, ys, vs = [], [], []
-        for entry in zoom.blocks:
-            bx, by, bv = self._decode_block(entry)
-            if len(bv):
-                xs.append(bx)
-                ys.append(by)
-                vs.append(bv)
-        if not xs:
+
+        decoded = None
+        try:
+            from mustache_tpu.io import native
+            if native.available() and zoom.blocks:
+                decoded = native.decode_hic_blocks(
+                    self.path,
+                    np.array([b.position for b in zoom.blocks], np.int64),
+                    np.array([b.size for b in zoom.blocks], np.int32),
+                    self.version)
+        except ImportError:
+            pass
+        if decoded is not None:
+            x, y, v = decoded
+        else:
+            xs, ys, vs = [], [], []
+            for entry in zoom.blocks:
+                bx, by, bv = self._decode_block(entry)
+                if len(bv):
+                    xs.append(bx)
+                    ys.append(by)
+                    vs.append(bv)
+            if not xs:
+                return (np.array([], np.int64), np.array([], np.int64),
+                        np.array([], np.float64))
+            x = np.concatenate(xs)
+            y = np.concatenate(ys)
+            v = np.concatenate(vs)
+        if len(v) == 0:
             return (np.array([], np.int64), np.array([], np.int64),
                     np.array([], np.float64))
-        x = np.concatenate(xs)
-        y = np.concatenate(ys)
-        v = np.concatenate(vs)
         x, y = np.minimum(x, y), np.maximum(x, y)
 
         if norm and norm != "NONE":

@@ -1,0 +1,84 @@
+"""ctypes bindings for the native ingest components.
+
+Loads ``libmtpu_hic.so`` (built by the Makefile in this directory); if the
+library is missing, attempts a one-shot ``make`` with the system compiler,
+and otherwise reports unavailability so callers fall back to the pure
+Python decoders.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_LIB_PATH = os.path.join(_DIR, "libmtpu_hic.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.mtpu_decode_hic_blocks.restype = ctypes.c_int
+    lib.mtpu_decode_hic_blocks.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_hic_blocks(path: str, positions: np.ndarray, sizes: np.ndarray,
+                      version: int):
+    """Decode .hic blocks natively; returns (x, y, v) or None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    positions = np.ascontiguousarray(positions, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    capacity = max(int(sizes.sum()) * 2, 1 << 16)
+    for _ in range(4):
+        x = np.empty(capacity, np.int64)
+        y = np.empty(capacity, np.int64)
+        v = np.empty(capacity, np.float64)
+        count = ctypes.c_int64(0)
+        rc = lib.mtpu_decode_hic_blocks(
+            path.encode(), positions, sizes, len(sizes), version,
+            x, y, v, capacity, ctypes.byref(count))
+        if rc == 0:
+            n = count.value
+            return x[:n], y[:n], v[:n]
+        if rc == -4:
+            capacity = int(count.value * 1.2) + 1024
+            continue
+        raise IOError(f"native .hic decode failed (rc={rc}) for {path}")
+    raise IOError(f"native .hic decode: capacity retry exhausted for {path}")

@@ -86,13 +86,17 @@ def _grouped_mean_std(d: np.ndarray, v: np.ndarray, D: int):
 
 
 def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
-                     exact: bool = False):
+                     exact: bool = False, work_dtype=np.float64):
     """Normalize COO values ``v`` in place; returns per-diagonal p-weights.
 
     Mirrors the reference contract: ``v`` is mutated, and the returned
     ``pval_weights`` list (one ``1 + log30(1+mean_d)`` entry per local-regime
     diagonal) is computed for API parity (its downstream use is disabled in
     the reference as well, mustache.py:781-788).
+
+    ``work_dtype=np.float32`` halves the band-matrix elementwise cost for
+    the f32 detection path (moving-window sums are still accumulated in
+    float64 — differencing long float32 cumsums would be catastrophic).
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -114,25 +118,27 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
             # Band layout: row d holds the dense diagonal-d vector (+0.001 at
             # occupied bins, reference :635). Duplicate (x,d) entries:
             # last-write-wins, same as numpy fancy assignment.
-            band = np.zeros((Dv, n), dtype=np.float64)
+            band = np.zeros((Dv, n), dtype=work_dtype)
             sel = dists < Dv
-            band[dists[sel], x[sel]] = v[sel] + 0.001
+            band[dists[sel], x[sel]] = (v[sel] + 0.001).astype(work_dtype)
 
             row_lengths = n - np.arange(Dv)
             occ = band != 0
-            counts = _moving_window_sums(occ.astype(np.float64), F, exact, row_lengths)
-            s1 = _moving_window_sums(band, F, exact, row_lengths)
-            s2 = _moving_window_sums(band * band, F, exact, row_lengths)
+            counts = _moving_window_sums(occ.astype(np.float64), F, exact,
+                                         row_lengths).astype(work_dtype)
+            s1 = _moving_window_sums(band, F, exact, row_lengths).astype(work_dtype)
+            s2 = _moving_window_sums(band * band, F, exact, row_lengths).astype(work_dtype)
 
             with np.errstate(invalid="ignore", divide="ignore"):
                 local_var = (s2 - s1 ** 2 / counts) / (counts - 1)
                 local_mean = s1 / counts
 
-            std2 = (g_std ** 2)[:Dv, None]
+            std2 = (g_std.astype(work_dtype) ** 2)[:Dv, None]
             bad = ~np.isfinite(local_var)
             local_var[bad] = np.broadcast_to(std2, local_var.shape)[bad]
             low = counts < 30
-            gm = np.broadcast_to(g_mean[:Dv, None], local_mean.shape)
+            gm = np.broadcast_to(g_mean.astype(work_dtype)[:Dv, None],
+                                 local_mean.shape)
             local_mean[low] = gm[low]
             local_var[low] = np.broadcast_to(std2, local_var.shape)[low]
             badm = ~np.isfinite(local_mean)
@@ -143,7 +149,7 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
                 band = (band - local_mean) / local_std
             band[~np.isfinite(band)] = 0.0
             weights = 1.0 + np.log1p(g_mean[:Dv]) / math.log(30)
-            band *= weights[:, None]
+            band *= weights[:, None].astype(work_dtype)
 
             # One weight per diagonal that has a nonempty dense vector
             # (d < n), matching the reference's `continue` on empty rows.

@@ -39,12 +39,13 @@ class Loop:
         )
 
 
-def densify_block(x, y, v, start: int, end: int, chunk: int) -> np.ndarray:
+def densify_block(x, y, v, start: int, end: int, chunk: int,
+                  dtype=np.float64) -> np.ndarray:
     """Dense block for [start, end) exactly as the reference densifies
     (mustache.py:919-924): entries fully inside the window, duplicate
     triplets resolved last-write-wins by fancy assignment."""
     sel = (x >= start) & (x < end) & (y >= start) & (y < end)
-    cc = np.zeros((chunk, chunk), dtype=np.float64)
+    cc = np.zeros((chunk, chunk), dtype=dtype)
     cc[x[sel] - start, y[sel] - start] = v[sel]
     return cc
 
@@ -78,7 +79,10 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     d_px = cfg.distance_px
     n = int(max(x.max(), y.max())) + 1
     if normalize:
-        normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize)
+        work = (np.float64 if (exact_normalize or cfg.precision == "float64")
+                else np.float32)
+        normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize,
+                         work_dtype=work)
 
     chunk = cfg.chunk_size
     start, end = chunk_grid(n, chunk, d_px)
@@ -89,19 +93,24 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     backend = jax.default_backend()
     B = _auto_batch(width, cfg, backend)
     detector = build_detector(cfg, width)
+    # transfer in compute precision (halves H2D for the f32 fast path);
+    # the f64 golden path keeps full-precision blocks on device
+    dtype = np.float64 if cfg.precision == "float64" else np.float32
 
-    loops: list[Loop] = []
-    for b0 in range(0, nblocks, B):
-        idxs = list(range(b0, min(b0 + B, nblocks)))
-        blocks = np.zeros((B, width, width), dtype=np.float64)
+    def launch(idxs):
+        blocks = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
-            blocks[bi] = densify_block(x, y, v, start[i], end[i], width)
+            blocks[bi] = densify_block(x, y, v, start[i], end[i], width, dtype)
         if runner is None:
-            out = detector(blocks)
+            out = detector(jax.device_put(blocks))   # async H2D + dispatch
         else:
             out = runner(detector, blocks)
-        out = jax.tree.map(np.asarray, out)
+        return idxs, blocks, out
 
+    loops: list[Loop] = []
+
+    def finish(idxs, blocks, out):
+        out = jax.tree.map(np.asarray, out)
         for bi, i in enumerate(idxs):
             block_out = jax.tree.map(lambda a: a[bi], out)
             block_out = _maybe_regrow(block_out, blocks[bi], cfg, width)
@@ -113,6 +122,18 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
             for r in rows:
                 if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
                     loops.append(Loop(int(r[0]), int(r[1]), float(r[2]), float(r[3])))
+
+    # software pipelining: densify+upload batch k+1 while batch k's outputs
+    # are still being computed on device (jax dispatch is asynchronous)
+    pending = None
+    for b0 in range(0, nblocks, B):
+        idxs = list(range(b0, min(b0 + B, nblocks)))
+        launched = launch(idxs)
+        if pending is not None:
+            finish(*pending)
+        pending = launched
+    if pending is not None:
+        finish(*pending)
     return loops
 
 

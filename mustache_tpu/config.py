@@ -82,6 +82,9 @@ class DetectionConfig:
     block_batch: int = 0                   # blocks per device batch; 0 = auto
     min_nz: int = 50                       # bail-out: too-few nonzeros
     min_tested: int = 10000                # bail-out: too-few tested pixels
+    use_pallas: str = "auto"               # "auto" | "on" | "off": fused
+                                           # ladder-NMS Pallas kernel (TPU,
+                                           # float32, 128-multiple blocks)
 
     @property
     def distance_px(self) -> int:

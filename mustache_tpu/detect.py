@@ -181,31 +181,40 @@ class BlockDetector:
         return self.fn(blocks)
 
 
+def _preamble(c, d_px, intra):
+    """Support mask + sentinel fill (mustache.py:699-706)."""
+    dtype = c.dtype
+    N = c.shape[0]
+    # index arrays derived lazily from traced zeros — eager device
+    # constants stall tunneled lowering
+    rows_np = np.arange(N, dtype=np.int32)
+    diag = (jnp.zeros_like(c, dtype=jnp.int32)
+            + rows_np[None, :] - rows_np[:, None])   # y - x
+    nz = (c != 0) & (diag >= 4)
+    nz_count = jnp.sum(nz, dtype=jnp.int32)
+    sent = dtype.type(SENTINEL)
+    c = jnp.where(diag <= 4, sent, c)
+    if intra:
+        c = jnp.where(diag >= d_px + 1, sent, c)
+    return c, nz, nz_count
+
+
 def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
-                planes_per_octave, n_octaves, d_px, intra, K, _stage=None):
+                planes_per_octave, n_octaves, d_px, intra, K,
+                use_pallas=False, pallas_interpret=False, band_state=None,
+                _stage=None):
     # st / log_pt are runtime scalars so threshold changes never recompile
     dtype = c.dtype
     st = st.astype(dtype)
     log_pt = log_pt.astype(dtype)
     N = c.shape[0]
-    # all index arrays are derived lazily from traced zeros (see
-    # _diag_nz_means) — eager device constants stall tunneled lowering
-    rows_np = np.arange(N, dtype=np.int32)
-    diag = (jnp.zeros_like(c, dtype=jnp.int32)
-            + rows_np[None, :] - rows_np[:, None])   # y - x
-
-    nz = (c != 0) & (diag >= 4)
-    nz_count = jnp.sum(nz, dtype=jnp.int32)
-
-    sent = dtype.type(SENTINEL)
     pinf = dtype.type(np.inf)
 
-    # sentinel fill (mustache.py:703-706)
-    c = jnp.where(diag <= 4, sent, c)
-    if intra:
-        c = jnp.where(diag >= d_px + 1, sent, c)
+    c, nz, nz_count = _preamble(c, d_px, intra)
 
-    G = _blur_ladder(c, kernels)                  # [S, N, N]
+    G = None
+    if band_state is None:
+        G = _blur_ladder(c, kernels)              # [S, N, N]
 
     # ---- band space -----------------------------------------------------
     # After the convolution everything lives on the diagonal band:
@@ -232,9 +241,19 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
         b = ext[: N * (N + 1)].reshape(N, N + 1)[:, :Dl]
         return jnp.where(band_validl, b, fill)
 
-    Gb = jax.vmap(lambda g: shear(g, dtype.type(0.0)))(G)  # [S, N, Dl]
     if _stage == "conv":
         return {"s": jnp.sum(G)}
+    if band_state is not None:
+        pallas_out = band_state
+    elif use_pallas:
+        from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas
+        pallas_out = ladder_nms_pallas(
+            G, nz.astype(jnp.float32), nz_count, n_octaves=n_octaves,
+            planes_per_octave=planes_per_octave, DB=Dl,
+            interpret=pallas_interpret)
+    else:
+        pallas_out = None
+        Gb = jax.vmap(lambda g: shear(g, dtype.type(0.0)))(G)  # [S, N, Dl]
     if _stage == "shear":
         return {"s": jnp.sum(Gb)}
     nzb = shear(nz, False)
@@ -270,9 +289,17 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
                 m = term if m is None else jnp.maximum(m, term)
         return m
 
+    if pallas_out is not None:
+        best_logp, best_sigidx = pallas_out
+        best_logp = jnp.where(nzb, best_logp, pinf)
+        best_sigidx = jnp.where(nzb, best_sigidx, -1)
+    else:
+        best_logp = None
+
     best_v = jnp.zeros_like(nzbf)
-    best_logp = jnp.full_like(nzbf, pinf)         # +inf == "never detected"
-    best_sigidx = jnp.full_like(band_dl, -1)
+    if best_logp is None:
+        best_logp = jnp.full_like(nzbf, pinf)     # +inf == "never detected"
+        best_sigidx = jnp.full_like(band_dl, -1)
 
     def step(carry, xs):
         Lp, Lc, mP, mC, best_v, best_logp, best_sigidx = carry
@@ -298,15 +325,16 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
         best_sigidx = jnp.where(will, plane, best_sigidx)
         return (Lc, Ln, mC, mN, best_v, best_logp, best_sigidx), None
 
-    for o in range(n_octaves):
-        Go = Gb[o * 12:(o + 1) * 12]
-        L = Go[:-1] - Go[1:]                      # [11, N, Dl]
-        planes = np.arange(o * planes_per_octave,
-                           (o + 1) * planes_per_octave, dtype=np.int32)
-        carry = (L[0], L[1], max3x3_band(L[0]), max3x3_band(L[1]),
-                 best_v, best_logp, best_sigidx)
-        carry, _ = lax.scan(step, carry, (L[2:], planes))
-        best_v, best_logp, best_sigidx = carry[4:]
+    if pallas_out is None:
+        for o in range(n_octaves):
+            Go = Gb[o * 12:(o + 1) * 12]
+            L = Go[:-1] - Go[1:]                  # [11, N, Dl]
+            planes = np.arange(o * planes_per_octave,
+                               (o + 1) * planes_per_octave, dtype=np.int32)
+            carry = (L[0], L[1], max3x3_band(L[0]), max3x3_band(L[1]),
+                     best_v, best_logp, best_sigidx)
+            carry, _ = lax.scan(step, carry, (L[2:], planes))
+            best_v, best_logp, best_sigidx = carry[4:]
 
     if _stage == "scan":
         return {"s": jnp.sum(best_v) + jnp.sum(best_logp * 0) + jnp.sum(best_sigidx)}
@@ -401,9 +429,25 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
     }
 
 
+def _resolve_pallas(cfg: DetectionConfig) -> bool:
+    if cfg.use_pallas == "off":
+        return False
+    if cfg.precision != "float32":
+        return False
+    if cfg.use_pallas == "on":
+        return True
+    # "auto": the fused kernel matches the XLA band path exactly on TPU but
+    # is not yet faster (synchronous DMA, no double buffering, input pad
+    # copies), so the tuned XLA path remains the default. Flip here once
+    # the kernel pipelines its DMAs / fuses the column convolution.
+    return False
+
+
 @functools.lru_cache(maxsize=32)
 def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
-                           n: int, max_candidates: int):
+                           n: int, max_candidates: int,
+                           use_pallas: bool = False,
+                           pallas_interpret: bool = False):
     spec = build_ladder(octave_values)
     dtype = jnp.float64 if precision == "float64" else jnp.float32
     kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
@@ -415,12 +459,35 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         d_px=d_px,
         intra=True,
         K=max_candidates,
+        use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
     )
 
-    def one(c, st, log_pt):
-        return _detect_one(c.astype(dtype), st, log_pt, kernels=kernels, **kw)
+    def one(c, st, log_pt, band_state=None):
+        return _detect_one(c.astype(dtype), st, log_pt, kernels=kernels,
+                           band_state=band_state, **kw)
 
-    fn = jax.jit(jax.vmap(one, in_axes=(0, None, None)))
+    if use_pallas:
+        from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas_batched
+
+        Dl_of = lambda n_: min(-(-min(d_px + 4, n_) // 128) * 128, n_)
+
+        def fn_base(blocks, st, log_pt):
+            cs, nzs, nzcs = jax.vmap(
+                lambda c: _preamble(c.astype(dtype), d_px, True))(blocks)
+            G = _blur_ladder(cs, kernels)         # [B, S, N, N]
+            bl, bs = ladder_nms_pallas_batched(
+                G, nzs.astype(jnp.float32), nzcs,
+                n_octaves=len(octave_values),
+                planes_per_octave=spec.planes_per_octave,
+                DB=Dl_of(blocks.shape[1]), interpret=pallas_interpret)
+            return jax.vmap(
+                lambda c, b1, b2: one(c, st, log_pt, band_state=(b1, b2)),
+                in_axes=(0, 0, 0))(blocks, bl, bs)
+
+        fn = jax.jit(fn_base)
+    else:
+        fn = jax.jit(jax.vmap(one, in_axes=(0, None, None)))
     fn_single = jax.jit(one)
     return spec, fn, fn_single
 
@@ -435,7 +502,8 @@ def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
     # cache key holds only graph-shaping fields: thresholds are runtime args
     spec, fn, fn_single = _build_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
-        max_candidates or cfg.max_candidates)
+        max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
+        getattr(cfg, "_pallas_interpret", False))
     return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single)
 
 

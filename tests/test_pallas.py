@@ -1,0 +1,96 @@
+"""Pallas fused ladder-NMS kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mustache_tpu.config import DetectionConfig
+from mustache_tpu.detect import _blur_ladder, build_detector, _build_detector_cached
+from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas
+from mustache_tpu.scalespace import build_ladder
+from synthetic import synthetic_hic
+
+
+def make_block(n, d_px, seed):
+    x, y, v, _ = synthetic_hic(n, d_px, seed=seed, n_loops=8)
+    from mustache_tpu.normalize import normalize_sparse
+    normalize_sparse(x, y, v, 5000, d_px, work_dtype=np.float32)
+    c = np.zeros((n, n), dtype=np.float32)
+    c[x, y] = v
+    return c
+
+
+@pytest.mark.parametrize("n,d_px", [(256, 64), (200, 40)])
+def test_pallas_matches_xla_path(n, d_px):
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=256)
+    c = make_block(n, d_px, seed=91)
+
+    # XLA reference outputs
+    det = build_detector(cfg, n)
+    ref = jax.tree.map(np.asarray, det.fn_single(c))
+
+    # pallas-path detector (interpret mode so it runs on CPU)
+    spec, fn, fn_single = _build_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        cfg.max_candidates, True, True)
+    st = np.float32(cfg.st)
+    lp = np.float32(np.log(cfg.pt))
+    got = jax.tree.map(np.asarray, fn_single(c, st, lp))
+
+    assert int(got["nz_count"]) == int(ref["nz_count"])
+    assert int(got["n_tested"]) == int(ref["n_tested"])
+    assert int(got["sig_count"]) == int(ref["sig_count"])
+
+    rset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+        ref["cand_x"], ref["cand_y"], ref["cand_sigidx"], ref["cand_valid"])
+        if ok}
+    gset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+        got["cand_x"], got["cand_y"], got["cand_sigidx"], got["cand_valid"])
+        if ok}
+    assert rset == gset and len(rset) > 0
+
+    rq = {(int(x), int(y)): float(q) for x, y, q, ok in zip(
+        ref["cand_x"], ref["cand_y"], ref["cand_logq"], ref["cand_valid"]) if ok}
+    for x, y, q, ok in zip(got["cand_x"], got["cand_y"], got["cand_logq"],
+                           got["cand_valid"]):
+        if ok:
+            np.testing.assert_allclose(float(q), rq[(int(x), int(y))],
+                                       rtol=2e-4, atol=1e-4)
+
+    rp = {(int(x), int(y)) for x, y, ok in zip(
+        ref["cand_x"], ref["cand_y"], ref["cand_pass"]) if ok}
+    gp = {(int(x), int(y)) for x, y, ok in zip(
+        got["cand_x"], got["cand_y"], got["cand_pass"]) if ok}
+    assert rp == gp
+
+
+def test_raw_kernel_band_state(n=256, d_px=64):
+    """Direct comparison of the kernel's band logp/sigidx planes."""
+    c = make_block(n, d_px, seed=92)
+    spec = build_ladder((1.6, 3.2))
+    kernels = spec.kernels.astype(np.float32)
+
+    rows = np.arange(n)
+    diag = rows[None, :] - rows[:, None]
+    nz = (c != 0) & (diag >= 4)
+    cs = np.where(diag <= 4, 2.0, c)
+    cs = np.where(diag >= d_px + 1, 2.0, cs).astype(np.float32)
+    G = np.asarray(_blur_ladder(jnp.asarray(cs), jnp.asarray(kernels)))
+
+    DB = -(-min(d_px + 4, n) // 128) * 128
+    band_logp, band_sig = jax.jit(
+        lambda g, z, nc: ladder_nms_pallas(
+            g, z, nc, n_octaves=2, planes_per_octave=9, DB=DB,
+            interpret=True)
+    )(G, nz.astype(np.float32), jnp.asarray(int(nz.sum())))
+    band_logp = np.asarray(band_logp)
+    band_sig = np.asarray(band_sig)
+
+    # at least some detections, all on the support band
+    det_cells = np.argwhere(band_sig >= 0)
+    assert len(det_cells) > 10
+    for i, d in det_cells[:50]:
+        assert nz[i, i + d]
+        assert np.isfinite(band_logp[i, d])

@@ -1,0 +1,89 @@
+"""Multi-host smoke test: 2 localhost processes under jax.distributed.
+
+Each process takes its chromosome partition (the config-4 benchmark
+sharding), runs the detector on its share, and writes results; the union
+must equal the single-process run. Runs on the CPU backend.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    os.environ["JAX_ENABLE_X64"] = "true"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, nproc, pid, outdir = sys.argv[1:5]
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nproc), process_id=int(pid))
+    from synthetic import synthetic_hic
+    from mustache_tpu.config import DetectionConfig
+    from mustache_tpu.pipeline import detect_loops_coo
+    from mustache_tpu.sharding import shard_chromosomes
+
+    chroms = ["c0", "c1", "c2"]
+    mine = shard_chromosomes(chroms, int(pid), int(nproc))
+    out = {}
+    for ch in mine:
+        seed = 300 + chroms.index(ch)
+        x, y, v, _ = synthetic_hic(800, 100, seed=seed, n_loops=12)
+        cfg = DetectionConfig(resolution=5000, distance_bp=100 * 5000,
+                              precision="float32")
+        loops = detect_loops_coo(x, y, v, cfg)
+        out[ch] = [[l.bin1, l.bin2, round(l.q, 10), l.scale] for l in loops]
+    with open(os.path.join(outdir, f"part{pid}.json"), "w") as fh:
+        json.dump(out, fh)
+""")
+
+
+@pytest.mark.skipif(os.environ.get("MTPU_SKIP_DISTRIBUTED") == "1",
+                    reason="distributed smoke test disabled")
+def test_two_process_distributed(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    here = os.path.dirname(__file__)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, here, env.get("PYTHONPATH", "")])
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid), str(tmp_path)],
+            env=env, cwd=here, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    merged = {}
+    for pid in range(2):
+        merged.update(json.load(open(tmp_path / f"part{pid}.json")))
+    assert set(merged) == {"c0", "c1", "c2"}
+
+    # single-process reference
+    from mustache_tpu.config import DetectionConfig
+    from mustache_tpu.pipeline import detect_loops_coo
+    from synthetic import synthetic_hic
+    for i, ch in enumerate(["c0", "c1", "c2"]):
+        x, y, v, _ = synthetic_hic(800, 100, seed=300 + i, n_loops=12)
+        cfg = DetectionConfig(resolution=5000, distance_bp=100 * 5000,
+                              precision="float32")
+        loops = detect_loops_coo(x, y, v, cfg)
+        want = [[l.bin1, l.bin2, round(l.q, 10), l.scale] for l in loops]
+        assert merged[ch] == want, ch

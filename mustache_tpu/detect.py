@@ -77,23 +77,48 @@ def _blur_ladder(c, kernels):
     single = c.ndim == 2
     if single:
         c = c[None]
+    M = c.shape[0]
+    N = c.shape[1]
     S, W = kernels.shape
     R = (W - 1) // 2
     cpad = jnp.pad(c, ((0, 0), (R, R), (R, R)), mode="symmetric")
-    lhs = cpad[:, None]                           # [M, 1, N+2R, N+2R]
     k_rows = kernels[:, None, :, None]            # [S, 1, W, 1]
-    g = lax.conv_general_dilated(
-        lhs, k_rows, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
-    )                                             # [M, S, N, N+2R]
     k_cols = kernels[:, None, None, :]            # [S, 1, 1, W]
-    g = lax.conv_general_dilated(
-        g, k_cols, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=S,
-        precision=lax.Precision.HIGHEST,
-    )                                             # [M, S, N, N]
+
+    def pass1(lhs):                               # [m, 1, rows+2R, N+2R]
+        return lax.conv_general_dilated(
+            lhs, k_rows, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
+        )
+
+    def pass2(g):                                 # [m, S, rows, N+2R]
+        return lax.conv_general_dilated(
+            g, k_cols, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=S,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    # XLA's grouped-conv scratch lays channels on the 128-lane axis (5.3x
+    # padding blowup); above ~2000 rows (or for multi-map stacks) that can
+    # exceed HBM, so large inputs run the convolution in row slabs
+    # (sequential lax.map bounds the live scratch to one slab).
+    if N <= 2048 and M == 1:
+        g = pass2(pass1(cpad[:, None]))           # [M, S, N, N]
+        return g[0] if single else g
+
+    SLAB = 512
+    nslab = -(-N // SLAB)
+    pad_rows = nslab * SLAB - N
+    cpad = jnp.pad(cpad, ((0, 0), (0, pad_rows), (0, 0)))
+
+    def do_slab(k):
+        rows = lax.dynamic_slice_in_dim(cpad, k * SLAB, SLAB + 2 * R, axis=1)
+        return pass2(pass1(rows[:, None]))        # [M, S, SLAB, N]
+
+    g = lax.map(do_slab, np.arange(nslab))        # [nslab, M, S, SLAB, N]
+    g = jnp.moveaxis(g, 0, 2).reshape(M, S, nslab * SLAB, N)[:, :, :N]
     return g[0] if single else g
 
 

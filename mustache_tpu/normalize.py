@@ -115,6 +115,28 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
 
             g_mean, g_std = _grouped_mean_std(dists, v, D)
 
+            if not exact:
+                # fast path: threaded C++ core when the native library is
+                # available (the [D, n] band passes are host-memory bound)
+                try:
+                    from mustache_tpu.io import native
+                except ImportError:
+                    native = None
+                if native is not None and native.available():
+                    weights = 1.0 + np.log1p(g_mean[:Dv]) / math.log(30)
+                    sel = dists < Dv
+                    sel_idx = np.nonzero(sel)[0]
+                    perm = np.argsort(dists[sel_idx], kind="stable")
+                    ent = sel_idx[perm]
+                    row_off = np.searchsorted(
+                        dists[ent], np.arange(Dv + 1), side="left")
+                    z = native.normalize_band(
+                        x[ent], v[ent], row_off, n, Dv, F,
+                        g_mean[:Dv], g_std[:Dv], weights)
+                    if z is not None:
+                        v[ent] = z
+                        return [float(w) for w in weights]
+
             # Band layout: row d holds the dense diagonal-d vector (+0.001 at
             # occupied bins, reference :635). Duplicate (x,d) entries:
             # last-write-wins, same as numpy fancy assignment.
@@ -125,37 +147,43 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
             row_lengths = n - np.arange(Dv)
             occ = band != 0
             counts = _moving_window_sums(occ.astype(np.float64), F, exact,
-                                         row_lengths).astype(work_dtype)
-            s1 = _moving_window_sums(band, F, exact, row_lengths).astype(work_dtype)
-            s2 = _moving_window_sums(band * band, F, exact, row_lengths).astype(work_dtype)
+                                         row_lengths)
+            s1 = _moving_window_sums(band, F, exact, row_lengths)
+            s2 = _moving_window_sums(band * band, F, exact, row_lengths)
+
+            # Only occupied positions are ever read back (the reference
+            # assigns v from vals[x[indices]]), so gather the window sums
+            # at those positions and do the per-entry math on the COO
+            # vector instead of the whole [D, n] band — the band-wide work
+            # is just the scatter + three cumsum window passes.
+            flat = dists[sel] * np.int64(n) + x[sel]
+            cnt_i = counts.reshape(-1).take(flat).astype(work_dtype)
+            s1_i = s1.reshape(-1).take(flat).astype(work_dtype)
+            s2_i = s2.reshape(-1).take(flat).astype(work_dtype)
+            band_i = band.reshape(-1).take(flat)
+            gm_i = g_mean.astype(work_dtype)[dists[sel]]
+            gs2_i = (g_std.astype(work_dtype) ** 2)[dists[sel]]
 
             with np.errstate(invalid="ignore", divide="ignore"):
-                local_var = (s2 - s1 ** 2 / counts) / (counts - 1)
-                local_mean = s1 / counts
-
-            std2 = (g_std.astype(work_dtype) ** 2)[:Dv, None]
-            bad = ~np.isfinite(local_var)
-            local_var[bad] = np.broadcast_to(std2, local_var.shape)[bad]
-            low = counts < 30
-            gm = np.broadcast_to(g_mean.astype(work_dtype)[:Dv, None],
-                                 local_mean.shape)
-            local_mean[low] = gm[low]
-            local_var[low] = np.broadcast_to(std2, local_var.shape)[low]
-            badm = ~np.isfinite(local_mean)
-            local_mean[badm] = gm[badm]
+                lv = (s2_i - s1_i ** 2 / cnt_i) / (cnt_i - 1)
+                lm = s1_i / cnt_i
+            lv = np.where(np.isfinite(lv), lv, gs2_i)
+            low = cnt_i < 30
+            lm = np.where(low, gm_i, lm)
+            lv = np.where(low, gs2_i, lv)
+            lm = np.where(np.isfinite(lm), lm, gm_i)
 
             with np.errstate(invalid="ignore", divide="ignore"):
-                local_std = np.sqrt(local_var)
-                band = (band - local_mean) / local_std
-            band[~np.isfinite(band)] = 0.0
+                z = (band_i - lm) / np.sqrt(lv)
+            z = np.where(np.isfinite(z), z, work_dtype(0.0))
             weights = 1.0 + np.log1p(g_mean[:Dv]) / math.log(30)
-            band *= weights[:, None].astype(work_dtype)
+            z = z * weights.astype(work_dtype)[dists[sel]]
 
             # One weight per diagonal that has a nonempty dense vector
             # (d < n), matching the reference's `continue` on empty rows.
             pval_weights = [float(w) for w in weights]
 
-            v[sel] = band[dists[sel], x[sel]]
+            v[sel] = z
             # Entries on diagonals >= Dv (only possible when n < D) keep
             # their raw values, as in the reference (loop range is capped by
             # vals.size == 0 `continue`).

@@ -37,11 +37,16 @@ def synthetic_hic(n_bins: int, d_px: int, *, seed: int = 0,
     y = np.concatenate(ys)
     v = np.concatenate(vs)
 
-    # plant loops: multiply counts near anchor pairs by a Gaussian bump
+    # plant loops: multiply counts near anchor pairs by a Gaussian bump.
+    # membership lookup via a sorted flat-key index (a dict over tens of
+    # millions of pixels is minutes on a slow host), new entries collected
+    # in lists (np.append copies the whole array per call).
     anchors = []
-    coord = {}
-    for i in range(len(x)):
-        coord.setdefault((x[i], y[i]), i)
+    keys = x.astype(np.int64) * n_bins + y.astype(np.int64)
+    order0 = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order0]
+    extra_x, extra_y, extra_v = [], [], []
+    new_keys = {}
     for _ in range(n_loops):
         ax = int(rng.integers(10, n_bins - 10))
         dd = int(rng.integers(max(10, d_px // 8), int(d_px * 0.9)))
@@ -51,15 +56,22 @@ def synthetic_hic(n_bins: int, d_px: int, *, seed: int = 0,
         anchors.append((ax, ay))
         for ddx in range(-3, 4):
             for ddy in range(-3, 4):
-                key = (ax + ddx, ay + ddy)
-                i = coord.get(key)
+                kx, ky = ax + ddx, ay + ddy
+                key = kx * n_bins + ky
                 w = loop_strength * np.exp(-(ddx * ddx + ddy * ddy) / 3.0)
-                if i is not None:
-                    v[i] *= (1.0 + w)
-                elif 0 <= key[0] < n_bins and key[0] + 4 < key[1] < n_bins:
-                    coord[key] = len(v)
-                    x = np.append(x, key[0])
-                    y = np.append(y, key[1])
-                    v = np.append(v, 3.0 * (1.0 + w))
+                pos = np.searchsorted(keys_sorted, key)
+                if pos < len(keys_sorted) and keys_sorted[pos] == key:
+                    v[order0[pos]] *= (1.0 + w)
+                elif key in new_keys:
+                    extra_v[new_keys[key]] *= (1.0 + w)
+                elif 0 <= kx < n_bins and kx + 4 < ky < n_bins:
+                    new_keys[key] = len(extra_v)
+                    extra_x.append(kx)
+                    extra_y.append(ky)
+                    extra_v.append(3.0 * (1.0 + w))
+    if extra_x:
+        x = np.concatenate([x, np.array(extra_x)])
+        y = np.concatenate([y, np.array(extra_y)])
+        v = np.concatenate([v, np.array(extra_v)])
     order = np.lexsort((y, x))
     return x[order].astype(np.int64), y[order].astype(np.int64), v[order], anchors

@@ -224,7 +224,7 @@ def _preamble(c, d_px, intra):
     return c, nz, nz_count
 
 
-def _detect_one(c, st, log_pt, *, kernels, det_ceil, n_planes,
+def _detect_one(c, st, log_pt, *, kernels, det_ceil,
                 planes_per_octave, n_octaves, d_px, intra, K,
                 use_pallas=False, pallas_interpret=False, band_state=None,
                 _stage=None):
@@ -478,7 +478,6 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
     kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
     kw = dict(
         det_ceil=spec.det_ceil,
-        n_planes=spec.n_planes,
         planes_per_octave=spec.planes_per_octave,
         n_octaves=len(octave_values),
         d_px=d_px,

@@ -1,10 +1,11 @@
 """Per-diagonal z-score normalization of sparse contact maps.
 
-Reimplements the reference ``normalize_sparse`` (mustache.py:622-686) with
-the per-diagonal Python loop replaced by vectorized band-matrix operations:
-diagonal ``d`` of the COO map becomes row ``d`` of a ``[D, n]`` band array,
-the reference's three ``np.convolve`` passes per diagonal become cumsum
-moving-window sums over the whole band at once.
+Reimplements the reference ``normalize_sparse`` (mustache.py:622-686).
+Three implementations share the semantics: a threaded C++ core
+(io/native/normalize.cpp, the default fast path), a vectorized numpy
+band-matrix fallback (cumsum moving windows + per-entry gathers), and an
+``exact=True`` mode that reproduces the reference's np.convolve summation
+order bit-for-bit for golden comparisons.
 
 Two regimes, selected exactly as in the reference:
 

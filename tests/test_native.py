@@ -1,0 +1,60 @@
+"""Native (C++) vs pure-Python path equivalence for ingest + normalize."""
+
+import numpy as np
+import pytest
+
+from mustache_tpu.io import native
+from mustache_tpu.io.hic import HicFile
+from mustache_tpu.normalize import normalize_sparse
+from hic_writer import write_hic
+from oracle import normalize_sparse_oracle
+from synthetic import synthetic_hic
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library not built")
+
+
+@needs_native
+def test_normalize_native_matches_numpy_fallback(monkeypatch):
+    x, y, v, _ = synthetic_hic(1500, 150, seed=111)
+    v_native = v.copy()
+    normalize_sparse(x, y, v_native, 5000, 150)
+
+    # force the numpy band fallback
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    v_numpy = v.copy()
+    normalize_sparse(x, y, v_numpy, 5000, 150)
+    monkeypatch.setattr(native, "_tried", False)
+
+    np.testing.assert_allclose(v_native, v_numpy, rtol=1e-9, atol=1e-10)
+
+
+@needs_native
+def test_normalize_native_matches_oracle():
+    x, y, v, _ = synthetic_hic(1500, 150, seed=112)
+    v1, v2 = v.copy(), v.copy()
+    normalize_sparse(x, y, v1, 5000, 150)
+    normalize_sparse_oracle(x, y, v2, 5000, 150)
+    np.testing.assert_allclose(v1, v2, rtol=1e-8, atol=1e-8)
+
+
+@needs_native
+@pytest.mark.parametrize("version", [8, 9])
+def test_hic_native_decoder_matches_python(tmp_path, monkeypatch, version):
+    x, y, v, _ = synthetic_hic(500, 80, seed=113, n_loops=5)
+    v = np.round(v) + 1
+    path = str(tmp_path / "t.hic")
+    write_hic(path, [("chr1", 500 * 5000)], 5000, {"chr1": (x, y, v)},
+              version=version)
+
+    Xn, Yn, Vn = HicFile(path).fetch_chromosome("chr1", 5000)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    Xp, Yp, Vp = HicFile(path).fetch_chromosome("chr1", 5000)
+    monkeypatch.setattr(native, "_tried", False)
+
+    got = sorted(zip(Xn.tolist(), Yn.tolist(), Vn.tolist()))
+    want = sorted(zip(Xp.tolist(), Yp.tolist(), Vp.tolist()))
+    assert got == want and len(got) == len(v)

@@ -92,7 +92,7 @@ def measure_baseline(x, y, v):
     masks = block_mask_sizes(start, end, D_PX)
     loops = []
     for i in range(len(start)):
-        cc = densify_block(x, y, vv, start[i], end[i], end[i] - start[i])
+        cc = densify_block(x, y, vv, start[i], end[i], cfg.chunk_size)
         rows = detect_block_oracle(cc, [1.6, 3.2], D_PX, 0.8, 0.1,
                                    start=start[i])
         for r in rows:

@@ -392,7 +392,8 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     chunk = cfg.chunk_size
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)
-    width = end[0] - start[0]
+    # always chunk x chunk, zero-padded (diff_mustache.py:671)
+    width = chunk
     det = build_diff_detector(cfg, width)
 
     results = []

@@ -256,13 +256,16 @@ class HicFile:
         bin_x_off = take("<i", 4)
         bin_y_off = take("<i", 4)
         if v >= 9:
-            use_float = take("<b", 1)
-            use_int_x = take("<b", 1)
-            use_int_y = take("<b", 1)
+            use_float = take("<b", 1) != 0
+            use_int_x = take("<b", 1) != 0
+            use_int_y = take("<b", 1) != 0
         else:
-            use_float = 1 - take("<b", 1)   # v8 stores "useShort" counts
-            use_int_x = 0
-            use_int_y = 0
+            # v7/v8 store a single count-type byte with the same polarity as
+            # v9's useFloatContact: 0 = int16 counts, nonzero = float32
+            # (straw readBlock: useShort = byte == 0)
+            use_float = take("<b", 1) != 0
+            use_int_x = False
+            use_int_y = False
         mtype = take("<b", 1)
 
         xs, ys, vs = [], [], []
@@ -369,8 +372,9 @@ def read_hic_file(path: str, norm_method, chrm_size, distance_bp: int,
     if len(v) == 0:
         print(f"There is no contact in chrmosome {chr1} to work on.")
         return [], [], []
-    bad = ~np.isfinite(v)
-    v[bad] = 0
+    # the reference zeroes only NaN here (mustache.py:384); +/-inf values
+    # (e.g. from a zero normalization factor) survive to the val>0 filter
+    v[np.isnan(v)] = 0
     keep = (np.abs(x - y) <= distance_bp / res) & (v > 0)
     x, y, v = x[keep], y[keep], v[keep]
     if len(v) == 0:

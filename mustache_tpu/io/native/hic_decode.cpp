@@ -112,7 +112,9 @@ bool decode_payload(const uint8_t* data, int64_t len, int version,
     use_int_x = c.take<int8_t>() != 0;
     use_int_y = c.take<int8_t>() != 0;
   } else {
-    use_float = c.take<int8_t>() == 0;  // v8 stores "useShort" counts
+    // v7/v8: same polarity as v9's useFloatContact byte — 0 means int16
+    // counts, nonzero means float32 (straw readBlock: useShort = byte == 0)
+    use_float = c.take<int8_t>() != 0;
   }
   int8_t mtype = c.take<int8_t>();
   if (!c.ok) return false;

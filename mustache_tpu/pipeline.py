@@ -50,14 +50,23 @@ def densify_block(x, y, v, start: int, end: int, chunk: int,
     return cc
 
 
-def _auto_batch(n: int, cfg: DetectionConfig, backend: str) -> int:
+def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
+                nblocks: int) -> int:
     if cfg.block_batch:
         return cfg.block_batch
     if backend == "cpu":
-        return 2
-    # ~45 NxN fp32 live buffers per block through the ladder; stay under ~4GB
-    per_block = 45 * n * n * 4
-    return max(1, min(4, int(4e9 // per_block)))
+        cap = 2
+    else:
+        # ~45 NxN fp32 live buffers per block through the ladder; stay
+        # under ~4GB
+        per_block = 45 * n * n * 4
+        cap = max(1, min(4, int(4e9 // per_block)))
+    cap = min(cap, max(nblocks, 1))
+    # a trailing partial batch is zero-padded to B and the padded slots are
+    # full block computes: pick the B <= cap minimizing total computes
+    # ceil(nblocks/B)*B, tie-breaking toward the larger batch
+    return min(range(1, cap + 1),
+               key=lambda b: (-(-nblocks // b) * b, -b))
 
 
 def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
@@ -88,10 +97,14 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)
     nblocks = len(start)
-    width = end[0] - start[0]  # == chunk unless the map fits in one block
+    # blocks are ALWAYS chunk x chunk: when n <= chunk the reference still
+    # densifies into a CHUNK_SIZE x CHUNK_SIZE zero-padded matrix
+    # (mustache.py:923), and the zero pad region participates in the blurs
+    # and sentinel wedges, shaping the per-plane statistics
+    width = chunk
 
     backend = jax.default_backend()
-    B = _auto_batch(width, cfg, backend)
+    B = _auto_batch(width, cfg, backend, nblocks)
     detector = build_detector(cfg, width)
     # transfer in compute precision (halves H2D for the f32 fast path);
     # the f64 golden path keeps full-precision blocks on device

@@ -27,7 +27,8 @@ def _pack_block_v8(x, y, v, use_short_counts: bool) -> bytes:
     bin_x_off = int(x.min()) if len(x) else 0
     bin_y_off = int(y.min()) if len(y) else 0
     out.write(struct.pack("<ii", bin_x_off, bin_y_off))
-    out.write(struct.pack("<b", 1 if use_short_counts else 0))  # useShort
+    # count-type byte, straw polarity: 0 = int16 counts, 1 = float32
+    out.write(struct.pack("<b", 0 if use_short_counts else 1))
     out.write(struct.pack("<b", 1))                             # type: rows
     rows = {}
     for xi, yi, vi in zip(x, y, v):

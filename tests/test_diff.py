@@ -73,8 +73,8 @@ def test_diff_pipeline_multiblock():
     masks = block_mask_sizes(start, end, d_px)
     ref = []
     for i in range(len(start)):
-        cc1 = densify_block(x1, y1, vv1, start[i], end[i], end[i] - start[i])
-        cc2 = densify_block(x2, y2, vv2, start[i], end[i], end[i] - start[i])
+        cc1 = densify_block(x1, y1, vv1, start[i], end[i], cfg.chunk_size)
+        cc2 = densify_block(x2, y2, vv2, start[i], end[i], cfg.chunk_size)
         groups = diff_detect_block_oracle(
             cc1, cc2, [1.6, 3.2], d_px, 0.88, 0.2, 0.1, start=start[i])
         for tag, rws in zip((1, 2, 3, 4), groups):

@@ -86,3 +86,47 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\0" * 100)
     with pytest.raises(ValueError):
         HicFile(str(p))
+
+
+@pytest.mark.parametrize("version", [7, 8])
+@pytest.mark.parametrize("float_counts", [False, True])
+def test_v8_count_flag_polarity(tmp_path, version, float_counts):
+    """Byte-level spec test, independent of the test writer: the v7/v8
+    count-type byte uses the straw polarity (useShort = byte == 0, i.e.
+    byte 1 means float32 counts)."""
+    import struct
+    import types
+    import zlib
+    from mustache_tpu.io.hic import _BlockEntry
+
+    payload = bytearray()
+    payload += struct.pack("<i", 2)          # record count
+    payload += struct.pack("<ii", 100, 200)  # binX/binY offsets
+    payload += struct.pack("<b", 1 if float_counts else 0)
+    payload += struct.pack("<b", 1)          # matrix type: row list
+    payload += struct.pack("<h", 1)          # one row
+    payload += struct.pack("<h", 7)          # row y = 207
+    payload += struct.pack("<h", 2)          # two cols
+    cfmt = "<f" if float_counts else "<h"
+    payload += struct.pack("<h", 3) + struct.pack(cfmt, 5)   # x=103, v=5
+    payload += struct.pack("<h", 9) + struct.pack(cfmt, 11)  # x=109, v=11
+    comp = zlib.compress(bytes(payload))
+    p = tmp_path / "block.bin"
+    p.write_bytes(comp)
+
+    fake = types.SimpleNamespace(f=open(p, "rb"), version=version)
+    bx, by, bv = HicFile._decode_block(fake, _BlockEntry(0, 0, len(comp)))
+    fake.f.close()
+    assert list(bx) == [103, 109]
+    assert list(by) == [207, 207]
+    assert list(bv) == [5.0, 11.0]
+
+    # the native decoder must agree byte for byte
+    from mustache_tpu.io import native
+    if native.available():
+        nx, ny, nv = native.decode_hic_blocks(
+            str(p), np.array([0], np.int64),
+            np.array([len(comp)], np.int32), version)
+        assert list(nx) == [103, 109]
+        assert list(ny) == [207, 207]
+        assert list(nv) == [5.0, 11.0]

@@ -17,7 +17,7 @@ def oracle_pipeline(x, y, v, cfg: DetectionConfig):
     masks = block_mask_sizes(start, end, d_px)
     loops = []
     for i in range(len(start)):
-        cc = densify_block(x, y, v, start[i], end[i], end[i] - start[i])
+        cc = densify_block(x, y, v, start[i], end[i], cfg.chunk_size)
         rows = detect_block_oracle(
             cc, list(cfg.octave_values), d_px, cfg.st, cfg.pt, start=start[i])
         for r in rows:

@@ -129,16 +129,34 @@ def _bh_logq(logp_flat, n_tested):
     influence the reverse cummin. Matches statsmodels fdr_bh:
     q_i = cummin_{j>=i}(p_(j) * n / j), clipped at 1 (=0 in log space).
     """
-    dtype = logp_flat.dtype
+    sp, qs = _bh_sorted_logq(logp_flat, n_tested)
     order = jnp.argsort(logp_flat)
-    slp = logp_flat[order]
-    # ranks via cumsum keeps the graph free of large device constants
-    # (f32 cumsum of ones is exact below 2^24 elements; f64 always)
-    ranks = jnp.cumsum(jnp.ones_like(slp))
-    q = slp + jnp.log(n_tested.astype(dtype)) - jnp.log(ranks)
+    return jnp.zeros_like(logp_flat).at[order].set(qs)
+
+
+def _bh_sorted_logq(logp_flat, n_tested):
+    """BH without the scatter: returns ``(sp, qs)`` — the ascending-sorted
+    log p keys and the BH log-q in the same sorted order.
+
+    TPU sorts are bandwidth-bound, so the hot path sorts KEYS ONLY and
+    recovers any pixel's q later by binary search (``_bh_lookup``): BH
+    assigns equal q to equal p (the suffix cummin flattens rank ties), so
+    a value lookup is exact. Ranks come from an integer iota — exact at
+    any length, unlike an f32 cumsum of ones which saturates at 2^24
+    elements (reachable at 1kb resolution with wide bands).
+    """
+    dtype = logp_flat.dtype
+    sp = jnp.sort(logp_flat)
+    ranks = (lax.iota(jnp.int32, sp.shape[0]) + 1).astype(dtype)
+    q = sp + jnp.log(n_tested.astype(dtype)) - jnp.log(ranks)
     q = lax.cummin(q, axis=0, reverse=True)
-    q = jnp.minimum(q, 0.0)
-    return jnp.zeros_like(logp_flat).at[order].set(q)
+    return sp, jnp.minimum(q, 0.0)
+
+
+def _bh_lookup(sp, qs, vals):
+    """q-value lookup by log-p value (exact under ties, see above)."""
+    pos = jnp.clip(jnp.searchsorted(sp, vals), 0, sp.shape[0] - 1)
+    return qs[pos]
 
 
 def _diag_nz_means(c):
@@ -227,7 +245,7 @@ def _preamble(c, d_px, intra):
 def _detect_one(c, st, log_pt, *, kernels, det_ceil,
                 planes_per_octave, n_octaves, d_px, intra, K,
                 use_pallas=False, pallas_interpret=False, band_state=None,
-                _stage=None):
+                fused_mats=None):
     # st / log_pt are runtime scalars so threshold changes never recompile
     dtype = c.dtype
     st = st.astype(dtype)
@@ -238,7 +256,7 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     c, nz, nz_count = _preamble(c, d_px, intra)
 
     G = None
-    if band_state is None:
+    if band_state is None and not use_pallas:
         G = _blur_ladder(c, kernels)              # [S, N, N]
 
     # ---- band space -----------------------------------------------------
@@ -266,21 +284,20 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
         b = ext[: N * (N + 1)].reshape(N, N + 1)[:, :Dl]
         return jnp.where(band_validl, b, fill)
 
-    if _stage == "conv":
-        return {"s": jnp.sum(G)}
     if band_state is not None:
         pallas_out = band_state
     elif use_pallas:
-        from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas
-        pallas_out = ladder_nms_pallas(
-            G, nz.astype(jnp.float32), nz_count, n_octaves=n_octaves,
+        from mustache_tpu.kernels.fused_ladder import fused_ladder_nms_batched
+        KR, WC, R, TOPPAD, WINROWS = fused_mats
+        bv, bsig, locs, sums = fused_ladder_nms_batched(
+            c[None], nz.astype(jnp.float32)[None], KR, WC, R=R,
+            TOPPAD=TOPPAD, WINROWS=WINROWS, n_octaves=n_octaves,
             planes_per_octave=planes_per_octave, DB=Dl,
             interpret=pallas_interpret)
+        pallas_out = (bv[0], bsig[0], locs[0], sums[0])
     else:
         pallas_out = None
         Gb = jax.vmap(lambda g: shear(g, dtype.type(0.0)))(G)  # [S, N, Dl]
-    if _stage == "shear":
-        return {"s": jnp.sum(Gb)}
     nzb = shear(nz, False)
     nzbf = nzb.astype(dtype)
     inv_count = 1.0 / jnp.maximum(nz_count, 1).astype(dtype)
@@ -315,9 +332,16 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
         return m
 
     if pallas_out is not None:
-        best_logp, best_sigidx = pallas_out
-        best_logp = jnp.where(nzb, best_logp, pinf)
-        best_sigidx = jnp.where(nzb, best_sigidx, -1)
+        # recover the per-pixel log p from the kernel's best response and
+        # the per-plane exponential-fit partials: detections always have
+        # L > 0, so |L| == best_v and logp = -(best_v - loc) / scale
+        band_v, band_sig, locs, sums = pallas_out
+        means = sums * inv_count
+        scales_p = means - locs
+        sig_c = jnp.maximum(band_sig, 0)
+        logp = -(band_v - locs[sig_c]) / scales_p[sig_c]
+        best_logp = jnp.where(nzb & (band_sig >= 0), logp, pinf)
+        best_sigidx = jnp.where(nzb, band_sig, -1)
     else:
         best_logp = None
 
@@ -361,8 +385,6 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
             carry, _ = lax.scan(step, carry, (L[2:], planes))
             best_v, best_logp, best_sigidx = carry[4:]
 
-    if _stage == "scan":
-        return {"s": jnp.sum(best_v) + jnp.sum(best_logp * 0) + jnp.sum(best_sigidx)}
     band_valid = band_validl
     band_logp = best_logp
     band_sigidx = best_sigidx
@@ -371,22 +393,16 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
 
     found = band_nz & (band_logp < pinf)
     n_tested = jnp.sum(found, dtype=jnp.int32)
-    logq_flat = _bh_logq(
-        jnp.where(found, band_logp, pinf).reshape(-1), n_tested)
+    keys = jnp.where(found, band_logp, pinf)      # +inf sorts to the tail
+    sp, qs = _bh_sorted_logq(keys.reshape(-1), n_tested)
+    sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
 
-    # band q map in log space: 0 (=log 1) in-bounds outside nz, log 2
-    # untested, +inf on out-of-matrix padding (never selectable)
-    if _stage == "bh":
-        return {"s": jnp.sum(logq_flat)}
-    o_band = jnp.where(
-        found.reshape(-1), logq_flat,
-        jnp.where(band_nz.reshape(-1), dtype.type(LOG2),
-                  jnp.where(band_valid.reshape(-1), dtype.type(0.0), pinf)),
-    ).reshape(N, Dl)
-    sig_count = jnp.sum(o_band < log_pt, dtype=jnp.int32)
-
-    neg_topk, flat_idx = lax.top_k(-o_band.reshape(-1), K)
-    cand_logq = -neg_topk
+    # selection: BH q is non-decreasing along the p-sorted order, so the K
+    # smallest-p pixels are a superset of every q < pt pixel whenever
+    # sig_count <= K (the regrow contract guarantees that) — select by p
+    # directly, no dense q map and no second sort pass
+    neg_topk, flat_idx = lax.top_k(-keys.reshape(-1), K)
+    cand_logq = _bh_lookup(sp, qs, -neg_topk)
     cand_valid = cand_logq < log_pt
     cx = (flat_idx // Dl).astype(jnp.int32)
     cd = (flat_idx % Dl).astype(jnp.int32)
@@ -423,9 +439,10 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     cand_pass = cand_valid & pass_sparse & pass_enrich
 
     # 8-neighborhood q/scale export for host-side clustering. Dense
-    # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); neighbors beyond
-    # the band but inside the matrix carry q=1 (log 0); outside the matrix
-    # +inf (cannot win the component argmin).
+    # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); tested neighbors
+    # get their BH q by sorted lookup, untested support cells the q=2
+    # marker, in-matrix cells beyond the band q=1 (log 0), and cells
+    # outside the matrix +inf (cannot win the component argmin).
     offs = np.array([-1, 0, 1], np.int32)
     nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
     ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
@@ -434,9 +451,11 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     in_band = inside & (nd >= 0) & (nd < Dl)
     nxc = jnp.clip(nx, 0, N - 1)
     ndc = jnp.clip(nd, 0, Dl - 1)
+    nb_q = _bh_lookup(sp, qs, keys[nxc, ndc])
     neigh_logq = jnp.where(
-        in_band, o_band[nxc, ndc],
-        jnp.where(inside, dtype.type(0.0), pinf))
+        in_band & found[nxc, ndc], nb_q,
+        jnp.where(in_band & band_nz[nxc, ndc], dtype.type(LOG2),
+                  jnp.where(inside, dtype.type(0.0), pinf)))
     neigh_sigidx = jnp.where(in_band, band_sigidx[nxc, ndc], -1)
 
     return {
@@ -476,6 +495,10 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
     spec = build_ladder(octave_values)
     dtype = jnp.float64 if precision == "float64" else jnp.float32
     kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
+    fused_mats = None
+    if use_pallas:
+        from mustache_tpu.kernels.fused_ladder import build_fused_mats
+        fused_mats = build_fused_mats(spec.kernels)
     kw = dict(
         det_ceil=spec.det_ceil,
         planes_per_octave=spec.planes_per_octave,
@@ -485,6 +508,7 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         K=max_candidates,
         use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
+        fused_mats=fused_mats,
     )
 
     def one(c, st, log_pt, band_state=None):
@@ -492,22 +516,23 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
                            band_state=band_state, **kw)
 
     if use_pallas:
-        from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas_batched
+        from mustache_tpu.kernels.fused_ladder import fused_ladder_nms_batched
+        KR, WC, R, TOPPAD, WINROWS = fused_mats
 
         Dl_of = lambda n_: min(-(-min(d_px + 4, n_) // 128) * 128, n_)
 
         def fn_base(blocks, st, log_pt):
-            cs, nzs, nzcs = jax.vmap(
+            cs, nzs, _ = jax.vmap(
                 lambda c: _preamble(c.astype(dtype), d_px, True))(blocks)
-            G = _blur_ladder(cs, kernels)         # [B, S, N, N]
-            bl, bs = ladder_nms_pallas_batched(
-                G, nzs.astype(jnp.float32), nzcs,
-                n_octaves=len(octave_values),
+            bv, bsig, locs, sums = fused_ladder_nms_batched(
+                cs, nzs.astype(jnp.float32), KR, WC, R=R, TOPPAD=TOPPAD,
+                WINROWS=WINROWS, n_octaves=len(octave_values),
                 planes_per_octave=spec.planes_per_octave,
                 DB=Dl_of(blocks.shape[1]), interpret=pallas_interpret)
             return jax.vmap(
-                lambda c, b1, b2: one(c, st, log_pt, band_state=(b1, b2)),
-                in_axes=(0, 0, 0))(blocks, bl, bs)
+                lambda c, a, b, l, s: one(c, st, log_pt,
+                                          band_state=(a, b, l, s)),
+                in_axes=(0, 0, 0, 0, 0))(blocks, bv, bsig, locs, sums)
 
         fn = jax.jit(fn_base)
     else:

@@ -1,4 +1,11 @@
-"""Pallas fused ladder-NMS kernel vs the XLA path (interpret mode on CPU)."""
+"""Pallas fused ladder-NMS kernel vs the XLA path (interpret mode on CPU).
+
+The fused kernel computes the separable convolution in-kernel, so its blur
+values differ from the XLA convolution by float32 rounding; candidate
+anchors/scales are still expected to match exactly on realistic data (DoG
+value gaps are orders of magnitude above the epsilon), while log-q values
+are compared with a small tolerance.
+"""
 
 import numpy as np
 import jax
@@ -6,8 +13,10 @@ import jax.numpy as jnp
 import pytest
 
 from mustache_tpu.config import DetectionConfig
-from mustache_tpu.detect import _blur_ladder, build_detector, _build_detector_cached
-from mustache_tpu.kernels.ladder_nms import ladder_nms_pallas
+from mustache_tpu.detect import build_detector, _build_detector_cached
+from mustache_tpu.kernels.fused_ladder import (
+    build_fused_mats, fused_ladder_nms_batched,
+)
 from mustache_tpu.scalespace import build_ladder
 from synthetic import synthetic_hic
 
@@ -67,30 +76,46 @@ def test_pallas_matches_xla_path(n, d_px):
 
 
 def test_raw_kernel_band_state(n=256, d_px=64):
-    """Direct comparison of the kernel's band logp/sigidx planes."""
+    """Direct checks of the fused kernel's band state planes."""
     c = make_block(n, d_px, seed=92)
     spec = build_ladder((1.6, 3.2))
-    kernels = spec.kernels.astype(np.float32)
 
     rows = np.arange(n)
     diag = rows[None, :] - rows[:, None]
     nz = (c != 0) & (diag >= 4)
     cs = np.where(diag <= 4, 2.0, c)
     cs = np.where(diag >= d_px + 1, 2.0, cs).astype(np.float32)
-    G = np.asarray(_blur_ladder(jnp.asarray(cs), jnp.asarray(kernels)))
 
+    KR, WC, R, TOPPAD, WINROWS = build_fused_mats(spec.kernels)
     DB = -(-min(d_px + 4, n) // 128) * 128
-    band_logp, band_sig = jax.jit(
-        lambda g, z, nc: ladder_nms_pallas(
-            g, z, nc, n_octaves=2, planes_per_octave=9, DB=DB,
+    band_v, band_sig, locs, sums = jax.jit(
+        lambda cc, z: fused_ladder_nms_batched(
+            cc[None], z[None], KR, WC, R=R, TOPPAD=TOPPAD,
+            WINROWS=WINROWS, n_octaves=2, planes_per_octave=9, DB=DB,
             interpret=True)
-    )(G, nz.astype(np.float32), jnp.asarray(int(nz.sum())))
-    band_logp = np.asarray(band_logp)
-    band_sig = np.asarray(band_sig)
+    )(cs, nz.astype(np.float32))
+    band_v = np.asarray(band_v[0])
+    band_sig = np.asarray(band_sig[0])
+    locs = np.asarray(locs[0])
+    sums = np.asarray(sums[0])
 
-    # at least some detections, all on the support band
+    # at least some detections, all on the support band, positive response
     det_cells = np.argwhere(band_sig >= 0)
     assert len(det_cells) > 10
     for i, d in det_cells[:50]:
         assert nz[i, i + d]
-        assert np.isfinite(band_logp[i, d])
+        assert band_v[i, d] > 0
+    # per-plane stats: every plane of a dense-enough block has finite stats
+    assert np.isfinite(locs).all() and (sums > 0).all()
+
+    # the in-kernel convolution must match the XLA blur to f32 rounding:
+    # reconstruct the best-plane DoG value at detected cells from scipy
+    from oracle import scipy_blur
+    det_sig = spec.blur_sigmas
+    for i, d in det_cells[:5]:
+        k = int(band_sig[i, d])
+        o, j = divmod(k, 9)
+        gk = scipy_blur(cs.astype(np.float64), det_sig[o * 12 + j + 1])
+        gk1 = scipy_blur(cs.astype(np.float64), det_sig[o * 12 + j + 2])
+        want = gk[i, i + d] - gk1[i, i + d]
+        np.testing.assert_allclose(band_v[i, d], want, rtol=2e-4, atol=1e-5)

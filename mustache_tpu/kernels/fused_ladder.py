@@ -58,7 +58,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 16            # interior rows per grid step
+SUB = 128           # interior rows per grid step = one staircase chunk
 GROUP = SUB + 2     # blur rows held per sigma (interior + NMS row halo)
 CPAD = 128          # aligned column pad covering the conv radius
 TWIN = 3 * 128      # rc lane window feeding one 128-lane column-conv block
@@ -103,29 +103,29 @@ def build_fused_mats(kernels: np.ndarray):
 
 def _fused_kernel(kr_ref, tt_ref, c_hbm, nz_hbm, bv_ref, bs_ref, part_ref,
                   cbuf, nzbuf, rc3, gtmp, sem_c, sem_z, *,
-                  N, W, R, TOPPAD, WINROWS, WCOLS, n_octaves,
+                  N, W, R, TOPPAD, WINROWS, WCOLS, CFULL, ZFULL, n_octaves,
                   planes_per_octave):
     pb = pl.program_id(0)
     p0 = pl.program_id(1)
-    p1 = pl.program_id(2)
     nchunk = pl.num_programs(1)
-    nsub = pl.num_programs(2)
-    lin = (pb * nchunk + p0) * nsub + p1
-    last = pl.num_programs(0) * nchunk * nsub - 1
+    lin = pb * nchunk + p0
+    last = pl.num_programs(0) * nchunk - 1
     n_planes = n_octaves * planes_per_octave
 
     def dmas(lin_idx, slot):
-        pb_ = lin_idx // (nchunk * nsub)
-        rem = lin_idx % (nchunk * nsub)
-        p0_ = rem // nsub
-        p1_ = rem % nsub
-        base_ = pl.multiple_of(p0_ * 128 + p1_ * SUB, SUB)
-        col0_ = pl.multiple_of(p0_ * 128, 128)
+        # full-width row slabs: slicing only the row dim keeps each DMA one
+        # contiguous HBM segment. A [rows, lane-window] 2-D slice instead
+        # costs one descriptor PER ROW, and on this platform per-segment
+        # latency (not bandwidth) dominates: the windowed form measured
+        # ~78ms of pure DMA for a whole batch, the slab form ~3ms.
+        pb_ = lin_idx // nchunk
+        p0_ = lin_idx % nchunk
+        base_ = pl.multiple_of(p0_ * SUB, SUB)
         dc = pltpu.make_async_copy(
-            c_hbm.at[pb_, pl.ds(base_, WINROWS), pl.ds(col0_, WCOLS)],
+            c_hbm.at[pb_, pl.ds(base_, WINROWS), :],
             cbuf.at[slot], sem_c.at[slot])
         dz = pltpu.make_async_copy(
-            nz_hbm.at[pb_, pl.ds(base_, SUB), pl.ds(col0_, W)],
+            nz_hbm.at[pb_, pl.ds(base_, SUB), :],
             nzbuf.at[slot], sem_z.at[slot])
         return dc, dz
 
@@ -145,12 +145,12 @@ def _fused_kernel(kr_ref, tt_ref, c_hbm, nz_hbm, bv_ref, bs_ref, part_ref,
     for d in dmas(lin, slot):
         d.wait()
 
-    cb = cbuf[slot]                      # [WINROWS, WCOLS] padded window
-    nzf = nzbuf[slot]                    # [SUB, W] dense support mask
+    col0 = pl.multiple_of(p0 * 128, 128)
+    cb = cbuf[slot, :, pl.ds(col0, WCOLS)]   # [WINROWS, WCOLS] padded window
+    nzf = nzbuf[slot, :, pl.ds(col0, W)]     # [SUB, W] dense support mask
     nz = nzf > 0.5
 
-    base = p0 * 128 + p1 * SUB
-    col0 = p0 * 128
+    base = p0 * SUB
     # out-of-matrix validity as a rank-1 outer product (full-size iotas
     # would each cost as much scratch as a blur plane)
     drow = base - 1 + lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
@@ -282,20 +282,19 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
     ZCOLS = N2 - 128 + W
     nzp = jnp.pad(nzf, ((0, 0), (0, N2 - N), (0, ZCOLS - N)))
 
-    nsub = 128 // SUB
-    steps = (N2 // 128) * nsub
-    grid = (B, N2 // 128, nsub)
+    steps = N2 // 128
+    grid = (B, steps)
 
     bv, bs, parts = pl.pallas_call(
         functools.partial(
             _fused_kernel, N=N, W=W, R=R, TOPPAD=TOPPAD,
-            WINROWS=WINROWS, WCOLS=WCOLS, n_octaves=n_octaves,
-            planes_per_octave=planes_per_octave),
+            WINROWS=WINROWS, WCOLS=WCOLS, CFULL=COLS, ZFULL=ZCOLS,
+            n_octaves=n_octaves, planes_per_octave=planes_per_octave),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(kr.shape, lambda b, i, j: (0, 0, 0),
+            pl.BlockSpec(kr.shape, lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tt.shape, lambda b, i, j: (0, 0, 0, 0),
+            pl.BlockSpec(tt.shape, lambda b, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -306,24 +305,25 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
             jax.ShapeDtypeStruct((B, steps, 8, 128), jnp.float32),
         ),
         out_specs=(
-            pl.BlockSpec((1, SUB, W),
-                         lambda b, i, j: (b, i * (128 // SUB) + j, 0),
+            pl.BlockSpec((1, SUB, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, W),
-                         lambda b, i, j: (b, i * (128 // SUB) + j, 0),
+            pl.BlockSpec((1, SUB, W), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128),
-                         lambda b, i, j: (b, i * (128 // SUB) + j, 0, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, WINROWS, WCOLS), jnp.float32),
-            pltpu.VMEM((2, SUB, W), jnp.float32),
+            pltpu.VMEM((2, WINROWS, COLS), jnp.float32),
+            pltpu.VMEM((2, SUB, ZCOLS), jnp.float32),
             pltpu.VMEM((12, GROUP, WCOLS), jnp.float32),    # row-conv out
             pltpu.VMEM((GROUP, W), jnp.float32),            # col-conv out
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the 128-row tile's scratch + stack exceed the default 16MB scoped
+        # window; v5e has 128MB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(kr), jnp.asarray(tt), cpad, nzp)
 
@@ -331,13 +331,13 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
     locs = jnp.min(parts[:, :, :n_planes], axis=1)             # [B, P]
     sums = jnp.sum(parts[:, :, n_planes:2 * n_planes], axis=1)  # [B, P]
 
-    # staircase -> exact band: band[i, d] = stair[i, d + i % 128]
-    bv = bv[:, :N]
-    bs = bs[:, :N]
-    rows = np.arange(N, dtype=np.int32)
-    dcols = np.arange(DB, dtype=np.int32)
-    idx = (jnp.zeros_like(bv[:, :, :DB], dtype=jnp.int32)
-           + dcols[None, None, :] + (rows % 128)[None, :, None])
-    band_v = jnp.take_along_axis(bv, idx, axis=2)
-    band_sig = jnp.take_along_axis(bs, idx, axis=2)
-    return band_v, band_sig, locs, sums
+    # staircase -> exact band: band[i, d] = stair[i, d + i % 128]. The
+    # row shift depends only on i mod 128, so the conversion is 128 STATIC
+    # lane slices (one per residue) — a take_along_axis gather here costs
+    # 83ms/batch on this chip vs 6ms for the slice/stack form
+    def to_band(x):
+        st3 = x.reshape(B, N2 // 128, 128, W)
+        per_r = [st3[:, :, r, r:r + DB] for r in range(128)]
+        return jnp.stack(per_r, axis=2).reshape(B, N2, DB)[:, :N]
+
+    return to_band(bv), to_band(bs), locs, sums

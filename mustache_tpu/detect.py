@@ -145,12 +145,16 @@ def _bh_sorted_logq(logp_flat, n_tested):
     any length, unlike an f32 cumsum of ones which saturates at 2^24
     elements (reachable at 1kb resolution with wide bands).
     """
-    dtype = logp_flat.dtype
     sp = jnp.sort(logp_flat)
+    return sp, _logq_from_sorted(sp, n_tested)
+
+
+def _logq_from_sorted(sp, n_tested):
+    dtype = sp.dtype
     ranks = (lax.iota(jnp.int32, sp.shape[0]) + 1).astype(dtype)
     q = sp + jnp.log(n_tested.astype(dtype)) - jnp.log(ranks)
     q = lax.cummin(q, axis=0, reverse=True)
-    return sp, jnp.minimum(q, 0.0)
+    return jnp.minimum(q, 0.0)
 
 
 def _bh_lookup(sp, qs, vals):
@@ -402,15 +406,19 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     found = band_nz & (band_logp < pinf)
     n_tested = jnp.sum(found, dtype=jnp.int32)
     keys = jnp.where(found, band_logp, pinf)      # +inf sorts to the tail
-    sp, qs = _bh_sorted_logq(keys.reshape(-1), n_tested)
+    kf = keys.reshape(-1)
+    # ONE stable key+index sort serves both BH and selection: qs[:K] /
+    # sidx[:K] are the K smallest-p pixels (row-major stable on ties like
+    # the reference argsort, mustache.py:792) with their q-values — a
+    # separate top_k pass costs as much as the whole sort again. BH q is
+    # non-decreasing along the p-sorted order, so the K smallest-p pixels
+    # are a superset of every q < pt pixel whenever sig_count <= K (the
+    # regrow contract guarantees that).
+    sp, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])), num_keys=1)
+    qs = _logq_from_sorted(sp, n_tested)
     sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
-
-    # selection: BH q is non-decreasing along the p-sorted order, so the K
-    # smallest-p pixels are a superset of every q < pt pixel whenever
-    # sig_count <= K (the regrow contract guarantees that) — select by p
-    # directly, no dense q map and no second sort pass
-    neg_topk, flat_idx = lax.top_k(-keys.reshape(-1), K)
-    cand_logq = _bh_lookup(sp, qs, -neg_topk)
+    cand_logq = qs[:K]
+    flat_idx = sidx[:K]
     cand_valid = cand_logq < log_pt
     cx = (flat_idx // Dl).astype(jnp.int32)
     cd = (flat_idx % Dl).astype(jnp.int32)

@@ -54,8 +54,18 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
                 nblocks: int) -> int:
     if cfg.block_batch:
         return cfg.block_batch
+    from mustache_tpu.detect import _resolve_pallas
     if backend == "cpu":
         cap = 2
+    elif _resolve_pallas(cfg):
+        # fused-kernel path never materializes the [S,N,N] blur stack;
+        # ~36 bytes/px of live HBM per block (inputs, padded kernel input,
+        # band outputs, sort workspace). Large batches matter here: the
+        # BH sort is latency-bound, its cost nearly flat in the batch
+        # dimension (B=1 and B=4 sorts of 8.2M keys both ~150ms), so every
+        # extra block in the batch sorts almost for free
+        per_block = 36 * n * n
+        cap = max(1, min(8, int(6e9 // per_block)))
     else:
         # ~45 NxN fp32 live buffers per block through the ladder; stay
         # under ~4GB

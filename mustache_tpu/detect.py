@@ -246,6 +246,181 @@ def _preamble(c, d_px, intra):
     return c, nz, nz_count
 
 
+class _BandGeom:
+    """Band-space geometry + shear/stencil helpers for one [N, N] map.
+
+    After the convolution everything lives on the diagonal band:
+    band[i, d] <-> dense[i, i+d]. Data only exists for 0 <= y-x <= d_px+1
+    (the ingest distance filter), so the NMS scan, BH sort, selection,
+    and filters all touch 5-20x fewer pixels than the dense [N, N] map.
+    Width = data rows + stencil halo, rounded up to the 128-lane tile so
+    band arrays stay layout-aligned on TPU. Shared by the single-map and
+    differential detection cores.
+    """
+
+    def __init__(self, c, d_px):
+        N = c.shape[0]
+        self.N = N
+        self.dtype = c.dtype
+        self.Dl = Dl = min(-(-min(d_px + 4, N) // 128) * 128, N)
+        self.band_dl = (jnp.zeros_like(c[:, :Dl], dtype=jnp.int32)
+                        + np.arange(Dl, dtype=np.int32)[None, :])
+        self.band_il = (jnp.zeros_like(self.band_dl)
+                        + np.arange(N, dtype=np.int32)[:, None])
+        self.band_yl = self.band_il + self.band_dl
+        self.band_validl = self.band_yl < N
+
+    def shear(self, dense, fill):
+        """band[i, d] = dense[i, i+d] via the flat [N, N+1] reinterpret
+        trick (row i of the widened view starts one element later per row,
+        which walks the diagonals) — a strided read, no gather."""
+        N = self.N
+        flat = dense.reshape(-1)
+        ext = jnp.concatenate([flat, flat[:N]])
+        b = ext[: N * (N + 1)].reshape(N, N + 1)[:, :self.Dl]
+        return jnp.where(self.band_validl, b, fill)
+
+    @staticmethod
+    def _shift2(a, di, dd):
+        """a[i+di, d+dd], zero-filled outside the array."""
+        out = a
+        if di > 0:
+            out = jnp.concatenate([out[di:], jnp.zeros_like(out[:di])], 0)
+        elif di < 0:
+            out = jnp.concatenate([jnp.zeros_like(out[di:]), out[:di]], 0)
+        if dd > 0:
+            out = jnp.concatenate([out[:, dd:], jnp.zeros_like(out[:, :dd])], 1)
+        elif dd < 0:
+            out = jnp.concatenate([jnp.zeros_like(out[:, dd:]), out[:, :dd]], 1)
+        return out
+
+    def max3x3_band(self, Lb):
+        """Dense 3x3 constant-0 maximum filter, evaluated in band coords:
+        dense (x+dx, y+dy) = band (i+dx, d-dx+dy); taps outside the dense
+        matrix contribute the 0 pad. Only rows [3, d_px+2] are exact (the
+        halo needed by the detection rows); outer rows are never read."""
+        N = self.N
+        m = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                term = self._shift2(Lb, dx, dy - dx)
+                yv = self.band_yl + dy
+                valid = ((self.band_il + dx >= 0) & (self.band_il + dx < N)
+                         & (yv >= 0) & (yv < N))
+                term = jnp.where(valid, term, Lb.dtype.type(0.0))
+                m = term if m is None else jnp.maximum(m, term)
+        return m
+
+
+def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
+                     band_c, nz_dense, ceil_table, st, log_pt, K,
+                     extras=()):
+    """Fixed-capacity candidate table from band-space detection state:
+    BH FDR, selection, sparsity/enrichment filters, and the exported 3x3
+    neighborhoods for host-side clustering (mustache.py:774-841 /
+    diff_mustache.py:428-561 semantics).
+
+    ``extras``: tuples ``(name, band_arr, inside_fill, outside_fill)``; each
+    is exported as ``neigh_<name>`` over the candidate neighborhoods, with
+    ``inside_fill`` at in-matrix cells outside the band and ``outside_fill``
+    at out-of-matrix cells (the differential core carries pair p-values and
+    best DoG responses this way).
+    """
+    dtype = band_logp.dtype
+    pinf = dtype.type(np.inf)
+    N, Dl = geom.N, geom.Dl
+
+    found = band_nz & (band_logp < pinf)
+    n_tested = jnp.sum(found, dtype=jnp.int32)
+    keys = jnp.where(found, band_logp, pinf)      # +inf sorts to the tail
+    kf = keys.reshape(-1)
+    # ONE stable key+index sort serves both BH and selection: qs[:K] /
+    # sidx[:K] are the K smallest-p pixels (row-major stable on ties like
+    # the reference argsort, mustache.py:792) with their q-values — a
+    # separate top_k pass costs as much as the whole sort again. BH q is
+    # non-decreasing along the p-sorted order, so the K smallest-p pixels
+    # are a superset of every q < pt pixel whenever sig_count <= K (the
+    # regrow contract guarantees that).
+    sp, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])), num_keys=1)
+    qs = _logq_from_sorted(sp, n_tested)
+    sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
+    cand_logq = qs[:K]
+    flat_idx = sidx[:K]
+    cand_valid = cand_logq < log_pt
+    cx = (flat_idx // Dl).astype(jnp.int32)
+    cd = (flat_idx % Dl).astype(jnp.int32)
+    cy = cx + cd
+
+    band_sigidx = jnp.where(band_nz, band_sigidx, -1)
+    cand_sigidx = band_sigidx.reshape(-1)[flat_idx]
+
+    # sparsity filter via integral image of dense nz (windows are dense
+    # axis-aligned boxes)
+    ii = jnp.pad(
+        jnp.cumsum(jnp.cumsum(nz_dense.astype(jnp.int32), 0), 1),
+        ((1, 0), (1, 0))
+    )
+    s1 = jnp.where(cand_sigidx >= 0,
+                   jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
+    c1 = _box_counts(ii, cx, cy, s1, N).astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype)
+    s2 = 2 * s1
+    c2 = _box_counts(ii, cx, cy, s2, N).astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype)
+    pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
+
+    # enrichment filter: candidate > 2 * nonzero-mean of its diagonal,
+    # computed on the sentinel-filled map (mustache.py:816-828). Band
+    # column d IS diagonal d, so this is a masked column mean.
+    occupied = geom.band_validl & (band_c != 0)
+    dmeans = (jnp.sum(jnp.where(occupied, band_c, 0), axis=0)
+              / jnp.sum(occupied, axis=0).astype(dtype))  # NaN when empty
+    cand_mean = dmeans[jnp.clip(cd, 0, Dl - 1)]
+    cand_c = band_c.reshape(-1)[flat_idx]
+    pass_enrich = cand_c > 2 * cand_mean      # NaN mean => False
+
+    cand_pass = cand_valid & pass_sparse & pass_enrich
+
+    # 8-neighborhood q/scale export for host-side clustering. Dense
+    # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); tested neighbors
+    # get their BH q by sorted lookup, untested support cells the q=2
+    # marker, in-matrix cells beyond the band q=1 (log 0), and cells
+    # outside the matrix +inf (cannot win the component argmin).
+    offs = np.array([-1, 0, 1], np.int32)
+    nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
+    ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
+    nd = ny - nx
+    inside = (nx >= 0) & (nx < N) & (ny >= 0) & (ny < N)
+    in_band = inside & (nd >= 0) & (nd < Dl)
+    nxc = jnp.clip(nx, 0, N - 1)
+    ndc = jnp.clip(nd, 0, Dl - 1)
+    nb_q = _bh_lookup(sp, qs, keys[nxc, ndc])
+    neigh_logq = jnp.where(
+        in_band & found[nxc, ndc], nb_q,
+        jnp.where(in_band & band_nz[nxc, ndc], dtype.type(LOG2),
+                  jnp.where(inside, dtype.type(0.0), pinf)))
+    neigh_sigidx = jnp.where(in_band, band_sigidx[nxc, ndc], -1)
+
+    out = {
+        "n_tested": n_tested,
+        "sig_count": sig_count,
+        "cand_x": cx,
+        "cand_y": cy,
+        "cand_logq": cand_logq,
+        "cand_sigidx": cand_sigidx.astype(jnp.int8),
+        "cand_pass": cand_pass,
+        "cand_valid": cand_valid,
+        "pass_sparse": pass_sparse,
+        "pass_enrich": pass_enrich,
+        "neigh_logq": neigh_logq,
+        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
+    }
+    for name, arr, inside_fill, outside_fill in extras:
+        out["neigh_" + name] = jnp.where(
+            in_band, arr[nxc, ndc],
+            jnp.where(inside, arr.dtype.type(inside_fill),
+                      arr.dtype.type(outside_fill)))
+    return out
+
+
 def _detect_one(c, st, log_pt, *, kernels, det_ceil,
                 planes_per_octave, n_octaves, d_px, intra, K,
                 use_pallas=False, pallas_interpret=False, band_state=None,
@@ -263,30 +438,11 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     if band_state is None and not use_pallas:
         G = _blur_ladder(c, kernels)              # [S, N, N]
 
-    # ---- band space -----------------------------------------------------
-    # After the convolution everything lives on the diagonal band:
-    # band[i, d] <-> dense[i, i+d]. Data only exists for 0 <= y-x <= d_px+1
-    # (the ingest distance filter), so the NMS scan, BH sort, selection,
-    # and filters all touch 5-20x fewer pixels than the dense [N, N] map.
-    # Width = data rows + stencil halo, rounded up to the 128-lane tile so
-    # band arrays stay layout-aligned on TPU.
-    Dl = min(-(-min(d_px + 4, N) // 128) * 128, N)
-
-    band_dl = (jnp.zeros_like(c[:, :Dl], dtype=jnp.int32)
-               + np.arange(Dl, dtype=np.int32)[None, :])
-    band_il = (jnp.zeros_like(band_dl)
-               + np.arange(N, dtype=np.int32)[:, None])
-    band_yl = band_il + band_dl
-    band_validl = band_yl < N
-
-    def shear(dense, fill):
-        """band[i, d] = dense[i, i+d] via the flat [N, N+1] reinterpret
-        trick (row i of the widened view starts one element later per row,
-        which walks the diagonals) — a strided read, no gather."""
-        flat = dense.reshape(-1)
-        ext = jnp.concatenate([flat, flat[:N]])
-        b = ext[: N * (N + 1)].reshape(N, N + 1)[:, :Dl]
-        return jnp.where(band_validl, b, fill)
+    geom = _BandGeom(c, d_px)
+    Dl = geom.Dl
+    band_dl = geom.band_dl
+    shear = geom.shear
+    max3x3_band = geom.max3x3_band
 
     if band_state is not None:
         pallas_out = band_state
@@ -305,35 +461,6 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     nzb = shear(nz, False)
     nzbf = nzb.astype(dtype)
     inv_count = 1.0 / jnp.maximum(nz_count, 1).astype(dtype)
-
-    def _shift2(a, di, dd):
-        """a[i+di, d+dd], zero-filled outside the array."""
-        out = a
-        if di > 0:
-            out = jnp.concatenate([out[di:], jnp.zeros_like(out[:di])], 0)
-        elif di < 0:
-            out = jnp.concatenate([jnp.zeros_like(out[di:]), out[:di]], 0)
-        if dd > 0:
-            out = jnp.concatenate([out[:, dd:], jnp.zeros_like(out[:, :dd])], 1)
-        elif dd < 0:
-            out = jnp.concatenate([jnp.zeros_like(out[:, dd:]), out[:, :dd]], 1)
-        return out
-
-    def max3x3_band(Lb):
-        """Dense 3x3 constant-0 maximum filter, evaluated in band coords:
-        dense (x+dx, y+dy) = band (i+dx, d-dx+dy); taps outside the dense
-        matrix contribute the 0 pad. Only rows [3, d_px+2] are exact (the
-        halo needed by the detection rows); outer rows are never read."""
-        m = None
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                term = _shift2(Lb, dx, dy - dx)
-                yv = band_yl + dy
-                valid = ((band_il + dx >= 0) & (band_il + dx < N)
-                         & (yv >= 0) & (yv < N))
-                term = jnp.where(valid, term, dtype.type(0.0))
-                m = term if m is None else jnp.maximum(m, term)
-        return m
 
     if pallas_out is not None:
         # recover the per-pixel log p from the kernel's best response and
@@ -397,96 +524,15 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
             carry, _ = lax.scan(step, carry, (L[2:], planes))
             best_v, best_logp, best_sigidx = carry[4:]
 
-    band_valid = band_validl
-    band_logp = best_logp
-    band_sigidx = best_sigidx
-    band_nz = nzb
-    band_c = shear(c, dtype.type(0.0))            # post-sentinel values
-
-    found = band_nz & (band_logp < pinf)
-    n_tested = jnp.sum(found, dtype=jnp.int32)
-    keys = jnp.where(found, band_logp, pinf)      # +inf sorts to the tail
-    kf = keys.reshape(-1)
-    # ONE stable key+index sort serves both BH and selection: qs[:K] /
-    # sidx[:K] are the K smallest-p pixels (row-major stable on ties like
-    # the reference argsort, mustache.py:792) with their q-values — a
-    # separate top_k pass costs as much as the whole sort again. BH q is
-    # non-decreasing along the p-sorted order, so the K smallest-p pixels
-    # are a superset of every q < pt pixel whenever sig_count <= K (the
-    # regrow contract guarantees that).
-    sp, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])), num_keys=1)
-    qs = _logq_from_sorted(sp, n_tested)
-    sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
-    cand_logq = qs[:K]
-    flat_idx = sidx[:K]
-    cand_valid = cand_logq < log_pt
-    cx = (flat_idx // Dl).astype(jnp.int32)
-    cd = (flat_idx % Dl).astype(jnp.int32)
-    cy = cx + cd
-
-    band_sigidx = jnp.where(band_nz, band_sigidx, -1)
-    cand_sigidx = band_sigidx.reshape(-1)[flat_idx]
-
-    # sparsity filter via integral image of dense nz (windows are dense
-    # axis-aligned boxes)
-    ii = jnp.pad(
-        jnp.cumsum(jnp.cumsum(nz.astype(jnp.int32), 0), 1), ((1, 0), (1, 0))
-    )
     # lift the tiny ceil table into the graph via a traced zero (keeps it a
     # jaxpr literal instead of an eagerly-created device constant)
     ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
-    s1 = jnp.where(cand_sigidx >= 0,
-                   jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
-    c1 = _box_counts(ii, cx, cy, s1, N).astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype)
-    s2 = 2 * s1
-    c2 = _box_counts(ii, cx, cy, s2, N).astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype)
-    pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
-
-    # enrichment filter: candidate > 2 * nonzero-mean of its diagonal,
-    # computed on the sentinel-filled map (mustache.py:816-828). Band
-    # column d IS diagonal d, so this is a masked column mean.
-    occupied = band_valid & (band_c != 0)
-    dmeans = (jnp.sum(jnp.where(occupied, band_c, 0), axis=0)
-              / jnp.sum(occupied, axis=0).astype(dtype))  # NaN when empty
-    cand_mean = dmeans[jnp.clip(cd, 0, Dl - 1)]
-    cand_c = band_c.reshape(-1)[flat_idx]
-    pass_enrich = cand_c > 2 * cand_mean      # NaN mean => False
-
-    cand_pass = cand_valid & pass_sparse & pass_enrich
-
-    # 8-neighborhood q/scale export for host-side clustering. Dense
-    # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); tested neighbors
-    # get their BH q by sorted lookup, untested support cells the q=2
-    # marker, in-matrix cells beyond the band q=1 (log 0), and cells
-    # outside the matrix +inf (cannot win the component argmin).
-    offs = np.array([-1, 0, 1], np.int32)
-    nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
-    ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
-    nd = ny - nx
-    inside = (nx >= 0) & (nx < N) & (ny >= 0) & (ny < N)
-    in_band = inside & (nd >= 0) & (nd < Dl)
-    nxc = jnp.clip(nx, 0, N - 1)
-    ndc = jnp.clip(nd, 0, Dl - 1)
-    nb_q = _bh_lookup(sp, qs, keys[nxc, ndc])
-    neigh_logq = jnp.where(
-        in_band & found[nxc, ndc], nb_q,
-        jnp.where(in_band & band_nz[nxc, ndc], dtype.type(LOG2),
-                  jnp.where(inside, dtype.type(0.0), pinf)))
-    neigh_sigidx = jnp.where(in_band, band_sigidx[nxc, ndc], -1)
-
-    return {
-        "nz_count": nz_count,
-        "n_tested": n_tested,
-        "sig_count": sig_count,
-        "cand_x": cx,
-        "cand_y": cy,
-        "cand_logq": cand_logq,
-        "cand_sigidx": cand_sigidx.astype(jnp.int8),
-        "cand_pass": cand_pass,
-        "cand_valid": cand_valid,
-        "neigh_logq": neigh_logq,
-        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
-    }
+    out = _band_candidates(
+        geom, band_logp=best_logp, band_sigidx=best_sigidx, band_nz=nzb,
+        band_c=shear(c, dtype.type(0.0)), nz_dense=nz, ceil_table=ceil_table,
+        st=st, log_pt=log_pt, K=K)
+    out["nz_count"] = nz_count
+    return out
 
 
 def _resolve_pallas(cfg: DetectionConfig) -> bool:

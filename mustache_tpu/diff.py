@@ -10,7 +10,13 @@ enrichment filters and clustering exactly as the single-map core, and a
 loop is called differential when its component representative has
 ``pair < pt2`` and a larger best DoG response than the other condition.
 
-All three ladders run as one batched separable convolution ([3, S, N, N]).
+Engine-wise the path shares the single-map machinery end to end: all three
+ladders run as one batched separable convolution ([3, S, N, N]), everything
+after the convolution lives on the diagonal band (NMS scan, BH sort,
+selection, filters — see detect._BandGeom), blocks run as vmapped batches
+with software-pipelined H2D, and candidate-table overflow triggers a
+regrown rerun (the reference selects ALL pixels with q < pt,
+diff_mustache.py:458,473 — truncation would silently drop loops).
 """
 
 from __future__ import annotations
@@ -27,60 +33,9 @@ from jax import lax
 
 from mustache_tpu.config import DetectionConfig
 from mustache_tpu.detect import (
-    LOG2, SENTINEL, _bh_logq, _blur_ladder, _box_counts, _cluster_components,
-    _diag_nz_means, _max3x3,
+    SENTINEL, _BandGeom, _band_candidates, _blur_ladder, _cluster_components,
 )
 from mustache_tpu.scalespace import LadderSpec, build_ladder
-
-
-def _map_outputs(tag, *, nz, o_flat, sigidx_dense, pair_dense, v1_dense,
-                 v2_dense, c, ii, ceil_table, st, log_pt, K, N, intra):
-    """Candidate table for one condition: selection, filters, neighborhoods."""
-    dtype = o_flat.dtype
-    pinf = dtype.type(np.inf)
-    sig_count = jnp.sum(o_flat < log_pt, dtype=jnp.int32)
-    neg_topk, flat_idx = lax.top_k(-o_flat, K)
-    cand_logq = -neg_topk
-    cand_valid = cand_logq < log_pt
-    cx = (flat_idx // N).astype(jnp.int32)
-    cy = (flat_idx % N).astype(jnp.int32)
-    cand_sigidx = sigidx_dense.reshape(-1)[flat_idx]
-
-    s1 = jnp.where(cand_sigidx >= 0, ceil_table[jnp.maximum(cand_sigidx, 0)], 1)
-    c1 = _box_counts(ii, cx, cy, s1, N).astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype)
-    s2 = 2 * s1
-    c2 = _box_counts(ii, cx, cy, s2, N).astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype)
-    pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
-
-    if intra:
-        dmeans = _diag_nz_means(c)
-        cand_mean = dmeans[jnp.clip(cy - cx, 0, N - 1)]
-        pass_enrich = c[cx, cy] > 2 * cand_mean
-    else:
-        pass_enrich = jnp.ones_like(cand_valid)
-
-    offs = np.array([-1, 0, 1], np.int32)
-    nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
-    ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
-    oob = (nx < 0) | (nx >= N) | (ny < 0) | (ny >= N)
-    nxc = jnp.clip(nx, 0, N - 1)
-    nyc = jnp.clip(ny, 0, N - 1)
-    o_dense = o_flat.reshape(N, N)
-    return {
-        f"sig_count{tag}": sig_count,
-        f"cand_x{tag}": cx,
-        f"cand_y{tag}": cy,
-        f"cand_logq{tag}": cand_logq,
-        f"cand_sigidx{tag}": cand_sigidx,
-        f"cand_valid{tag}": cand_valid,
-        f"pass_sparse{tag}": pass_sparse,
-        f"pass_enrich{tag}": pass_enrich,
-        f"neigh_logq{tag}": jnp.where(oob, pinf, o_dense[nxc, nyc]),
-        f"neigh_sigidx{tag}": jnp.where(oob, -1, sigidx_dense[nxc, nyc]),
-        f"neigh_pair{tag}": jnp.where(oob, pinf, pair_dense[nxc, nyc]),
-        f"neigh_v1{tag}": jnp.where(oob, dtype.type(1.0), v1_dense[nxc, nyc]),
-        f"neigh_v2{tag}": jnp.where(oob, dtype.type(1.0), v2_dense[nxc, nyc]),
-    }
 
 
 def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
@@ -95,7 +50,7 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
 
     nz1 = (c1 != 0) & (diag >= 4)
     nz2 = (c2 != 0) & (diag >= 4)
-    nz = nz1 & nz2
+    nzd = nz1 & nz2
     nz1_count = jnp.sum(nz1, dtype=jnp.int32)
     nz2_count = jnp.sum(nz2, dtype=jnp.int32)
 
@@ -105,35 +60,35 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     if intra:
         c1 = jnp.where(diag >= d_px + 1, sent, c1)
         c2 = jnp.where(diag >= d_px + 1, sent, c2)
-    cd = jnp.where(nz, c1 - c2, dtype.type(0.0))
+    cd = jnp.where(nzd, c1 - c2, dtype.type(0.0))
 
+    S = kernels.shape[0]
     G = _blur_ladder(jnp.stack([cd, c1, c2]), kernels)  # [3, S, N, N]
+
+    geom = _BandGeom(c1, d_px)
+    Dl = geom.Dl
+    zerof = dtype.type(0.0)
+    Gb = jax.vmap(lambda g: geom.shear(g, zerof))(
+        G.reshape(3 * S, N, N)).reshape(3, S, N, Dl)
 
     pinf = dtype.type(np.inf)
     zero = dtype.type(0.0)
 
-    state = {}
-    for m in (1, 2):
-        state[m] = dict(
-            best_v=jnp.zeros_like(c1),
-            best_logp=jnp.full_like(c1, pinf),
-            best_pair=jnp.full_like(c1, dtype.type(SENTINEL)),
-            best_sigidx=jnp.full_like(diag, -1),
-        )
-    nzm = {1: nz1, 2: nz2}
-    nzf = {1: nz1.astype(dtype), 2: nz2.astype(dtype)}
-    nzc = {1: jnp.maximum(nz1_count, 1).astype(dtype),
-           2: jnp.maximum(nz2_count, 1).astype(dtype)}
-    nzd_f = nz.astype(dtype)
-    nzd_c = jnp.maximum(jnp.sum(nz, dtype=jnp.int32), 1).astype(dtype)
+    nzb = {1: geom.shear(nz1, False), 2: geom.shear(nz2, False)}
+    nzbf = {m: nzb[m].astype(dtype) for m in (1, 2)}
+    inv_nz = {m: 1.0 / jnp.maximum(c, 1).astype(dtype)
+              for m, c in ((1, nz1_count), (2, nz2_count))}
+    nzbd = geom.shear(nzd, False)
+    nzbd_f = nzbd.astype(dtype)
+    inv_nzd = 1.0 / jnp.maximum(jnp.sum(nzd, dtype=jnp.int32), 1).astype(dtype)
 
     def step(carry, xs):
         roll, st1, st2 = carry
         Lcd, Ln1, Ln2, plane = xs
         # folded-normal differential p on the difference-map plane,
         # fit on the joint support (diff_mustache.py:371-385)
-        mu = jnp.sum(Lcd * nzd_f) / nzd_c
-        var = jnp.sum((Lcd - mu) ** 2 * nzd_f) / nzd_c
+        mu = jnp.sum(Lcd * nzbd_f) * inv_nzd
+        var = jnp.sum(jnp.where(nzbd, (Lcd - mu) ** 2, zero)) * inv_nzd
         sd = jnp.sqrt(var)
         phi = jax.scipy.stats.norm.cdf(Lcd, loc=mu, scale=sd)
         phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
@@ -143,17 +98,17 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
         new_states = []
         for m, st_m, Ln in ((1, st1, Ln1), (2, st2, Ln2)):
             Lp, Lc, mP, mC = roll[4 * (m - 1):4 * m]
-            mN = _max3x3(Ln)
+            mN = geom.max3x3_band(Ln)
             abs_lc = jnp.abs(Lc)
-            loc = jnp.min(jnp.where(nzm[m], abs_lc, pinf))
-            mean = jnp.sum(abs_lc * nzf[m]) / nzc[m]
+            loc = jnp.min(jnp.where(nzb[m], abs_lc, pinf))
+            mean = jnp.sum(abs_lc * nzbf[m]) * inv_nz[m]
             scale = mean - loc
             logp = -(abs_lc - loc) / scale
             # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
             logp = jnp.where(jnp.isnan(logp), zero, logp)
 
             will = (
-                nzm[m]
+                nzb[m]
                 & (Lc > st_m[0])
                 & (Lc == mC)
                 & ((Lp == mP) | (Ln == mN))
@@ -169,56 +124,50 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
             new_roll.extend((Lc, Ln, mC, mN))
         return (tuple(new_roll), new_states[0], new_states[1]), None
 
-    states = {m: (state[m]["best_v"], state[m]["best_logp"],
-                  state[m]["best_pair"], state[m]["best_sigidx"])
+    zb = jnp.zeros((N, Dl), dtype)
+    states = {m: (zb,                               # best_v
+                  jnp.full((N, Dl), pinf, dtype),   # best_logp
+                  jnp.full((N, Dl), sent, dtype),   # best_pair
+                  jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
               for m in (1, 2)}
     for o in range(n_octaves):
-        Gd = G[0, o * 12:(o + 1) * 12]
-        G1 = G[1, o * 12:(o + 1) * 12]
-        G2 = G[2, o * 12:(o + 1) * 12]
+        Gd = Gb[0, o * 12:(o + 1) * 12]
+        G1 = Gb[1, o * 12:(o + 1) * 12]
+        G2 = Gb[2, o * 12:(o + 1) * 12]
         Ld = Gd[:-1] - Gd[1:]
         L1 = G1[:-1] - G1[1:]
         L2 = G2[:-1] - G2[1:]
         planes = np.arange(o * planes_per_octave,
                            (o + 1) * planes_per_octave, dtype=np.int32)
-        roll = (L1[0], L1[1], _max3x3(L1[0]), _max3x3(L1[1]),
-                L2[0], L2[1], _max3x3(L2[0]), _max3x3(L2[1]))
+        roll = (L1[0], L1[1], geom.max3x3_band(L1[0]), geom.max3x3_band(L1[1]),
+                L2[0], L2[1], geom.max3x3_band(L2[0]), geom.max3x3_band(L2[1]))
         carry, _ = lax.scan(
             step, (roll, states[1], states[2]),
             (Ld[1:planes_per_octave + 1], L1[2:], L2[2:], planes))
         states = {1: carry[1], 2: carry[2]}
-    for m in (1, 2):
-        state[m]["best_v"], state[m]["best_logp"], state[m]["best_pair"], \
-            state[m]["best_sigidx"] = states[m]
 
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}
     ceil_table = nz1_count * 0 + np.asarray(det_ceil, np.int32)
-    dense = {}
-    for m, cm in ((1, c1), (2, c2)):
-        st_m = state[m]
-        found = nzm[m] & (st_m["best_logp"] < pinf)
-        n_tested = jnp.sum(found, dtype=jnp.int32)
-        logp_flat = jnp.where(found, st_m["best_logp"], pinf).reshape(-1)
-        logq_flat = _bh_logq(logp_flat, n_tested)
-        o_flat = jnp.where(
-            found.reshape(-1), logq_flat,
-            jnp.where(nzm[m].reshape(-1), dtype.type(LOG2), zero))
-        sigidx_dense = jnp.where(nzm[m], st_m["best_sigidx"], -1)
-        pair_dense = jnp.where(nzm[m], st_m["best_pair"], dtype.type(1.0))
-        v_dense = jnp.where(nzm[m], st_m["best_v"], dtype.type(1.0))
-        dense[m] = dict(o_flat=o_flat, sigidx=sigidx_dense, pair=pair_dense,
-                        v=v_dense, found=found, cm=cm)
-        out[f"n_tested{m}"] = n_tested
-
+    band_c = {1: geom.shear(c1, zerof), 2: geom.shear(c2, zerof)}
+    nz_dense = {1: nz1, 2: nz2}
+    # best DoG responses on each map's own support, 1 elsewhere
+    # (diff_mustache.py:446-449) — both exported on every candidate's
+    # neighborhood so the host can evaluate the differential call
+    band_v = {m: jnp.where(nzb[m], states[m][0], dtype.type(1.0))
+              for m in (1, 2)}
     for m in (1, 2):
-        ii = jnp.pad(jnp.cumsum(jnp.cumsum(nzm[m].astype(jnp.int32), 0), 1),
-                     ((1, 0), (1, 0)))
-        out.update(_map_outputs(
-            str(m), nz=nzm[m], o_flat=dense[m]["o_flat"],
-            sigidx_dense=dense[m]["sigidx"], pair_dense=dense[m]["pair"],
-            v1_dense=dense[1]["v"], v2_dense=dense[2]["v"],
-            c=dense[m]["cm"], ii=ii, ceil_table=ceil_table, st=st,
-            log_pt=log_pt, K=K, N=N, intra=intra))
+        best_v, best_logp, best_pair, best_sigidx = states[m]
+        band_pair = jnp.where(nzb[m], best_pair, dtype.type(1.0))
+        table = _band_candidates(
+            geom, band_logp=best_logp, band_sigidx=best_sigidx,
+            band_nz=nzb[m], band_c=band_c[m], nz_dense=nz_dense[m],
+            ceil_table=ceil_table, st=st, log_pt=log_pt, K=K,
+            extras=(
+                ("pair", band_pair, 1.0, np.inf),
+                ("v1", band_v[1], 1.0, 1.0),
+                ("v2", band_v[2], 1.0, 1.0),
+            ))
+        out.update({k + str(m): v for k, v in table.items()})
     return out
 
 
@@ -366,12 +315,50 @@ def finish_diff_block(out: dict, *, start: int, cfg: DetectionConfig,
     return loops1, diff1, loops2, diff2
 
 
+# ---------------------------------------------------------------------------
+# per-chromosome orchestration (mirrors pipeline.detect_loops_coo)
+# ---------------------------------------------------------------------------
+
+def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
+                     nblocks: int) -> int:
+    if cfg.block_batch:
+        return cfg.block_batch
+    if backend == "cpu":
+        cap = 1
+    else:
+        # triple ladder: ~3x the single-map XLA path's live blur buffers
+        itemsize = 8 if cfg.precision == "float64" else 4
+        per_block = 135 * n * n * itemsize
+        cap = max(1, min(4, int(6e9 // per_block)))
+    cap = min(cap, max(nblocks, 1))
+    return min(range(1, cap + 1),
+               key=lambda b: (-(-nblocks // b) * b, -b))
+
+
+def _maybe_regrow_diff(block_out: dict, cc1: np.ndarray, cc2: np.ndarray,
+                       cfg: DetectionConfig, width: int) -> dict:
+    """If either condition's candidate table overflowed (more pixels below
+    the q threshold than capacity), rerun this block with a larger capacity.
+    The reference selects ALL pixels with q < pt (diff_mustache.py:458,473),
+    so truncation would silently drop loops."""
+    sig = max(int(block_out["sig_count1"]), int(block_out["sig_count2"]))
+    if sig <= cfg.max_candidates:
+        return block_out
+    cap = 1 << (sig - 1).bit_length()
+    det = build_diff_detector(cfg, width, max_candidates=cap)
+    return jax.tree.map(np.asarray, det.fn_single(cc1, cc2))
+
+
 def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
-                          normalize: bool = True, exact_normalize: bool = False):
+                          normalize: bool = True, exact_normalize: bool = False,
+                          runner=None):
     """Differential loop calls for one chromosome, both conditions.
 
     Returns a list of (bin1, bin2, q, scale, tag) with tag 1=loop1,
     2=diffloop1, 3=loop2, 4=diffloop2 (diff_mustache.py:704-715).
+
+    ``runner``: optional callable ``(detector, (b1, b2)) -> outputs`` used
+    by the sharded driver; defaults to direct invocation.
     """
     from mustache_tpu.config import block_mask_sizes, chunk_grid
     from mustache_tpu.normalize import normalize_sparse
@@ -386,26 +373,61 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     d_px = cfg.distance_px
     n = int(max(x1.max(), y1.max(), x2.max(), y2.max())) + 1
     if normalize:
-        normalize_sparse(x1, y1, v1, cfg.resolution, d_px, exact=exact_normalize)
-        normalize_sparse(x2, y2, v2, cfg.resolution, d_px, exact=exact_normalize)
+        work = (np.float64 if (exact_normalize or cfg.precision == "float64")
+                else np.float32)
+        normalize_sparse(x1, y1, v1, cfg.resolution, d_px,
+                         exact=exact_normalize, work_dtype=work)
+        normalize_sparse(x2, y2, v2, cfg.resolution, d_px,
+                         exact=exact_normalize, work_dtype=work)
 
     chunk = cfg.chunk_size
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)
+    nblocks = len(start)
     # always chunk x chunk, zero-padded (diff_mustache.py:671)
     width = chunk
+
+    backend = jax.default_backend()
+    B = _auto_batch_diff(width, cfg, backend, nblocks)
     det = build_diff_detector(cfg, width)
+    dtype = np.float64 if cfg.precision == "float64" else np.float32
+
+    def launch(idxs):
+        b1 = np.zeros((B, width, width), dtype=dtype)
+        b2 = np.zeros((B, width, width), dtype=dtype)
+        for bi, i in enumerate(idxs):
+            b1[bi] = densify_block(x1, y1, v1, start[i], end[i], width, dtype)
+            b2[bi] = densify_block(x2, y2, v2, start[i], end[i], width, dtype)
+        if runner is None:
+            out = det.fn(jax.device_put(b1), jax.device_put(b2))
+        else:
+            out = runner(det, (b1, b2))
+        return idxs, b1, b2, out
 
     results = []
-    for i in range(len(start)):
-        cc1 = densify_block(x1, y1, v1, start[i], end[i], width)
-        cc2 = densify_block(x2, y2, v2, start[i], end[i], width)
-        out = jax.tree.map(np.asarray, det.fn_single(cc1, cc2))
-        groups = finish_diff_block(out, start=start[i], cfg=cfg, spec=det.spec)
-        mask = masks[i]
-        for tag, rows in zip((1, 2, 3, 4), groups):
-            for r in rows:
-                if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
-                    results.append((int(r[0]), int(r[1]), float(r[2]),
-                                    float(r[3]), tag))
+
+    def finish(idxs, b1, b2, out):
+        out = jax.tree.map(np.asarray, out)
+        for bi, i in enumerate(idxs):
+            block_out = jax.tree.map(lambda a: a[bi], out)
+            block_out = _maybe_regrow_diff(block_out, b1[bi], b2[bi], cfg,
+                                           width)
+            groups = finish_diff_block(block_out, start=start[i], cfg=cfg,
+                                       spec=det.spec)
+            mask = masks[i]
+            for tag, rows in zip((1, 2, 3, 4), groups):
+                for r in rows:
+                    if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
+                        results.append((int(r[0]), int(r[1]), float(r[2]),
+                                        float(r[3]), tag))
+    # software pipelining: densify+upload batch k+1 while batch k computes
+    pending = None
+    for b0 in range(0, nblocks, B):
+        idxs = list(range(b0, min(b0 + B, nblocks)))
+        launched = launch(idxs)
+        if pending is not None:
+            finish(*pending)
+        pending = launched
+    if pending is not None:
+        finish(*pending)
     return results

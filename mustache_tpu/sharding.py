@@ -47,20 +47,24 @@ def block_sharding(mesh):
 def make_runner(mesh):
     """A pipeline `runner(detector, blocks)`: place the batch with the mesh
     sharding and invoke the jitted detector; outputs come back addressable
-    on the host."""
+    on the host. ``blocks`` is a [B, N, N] batch, or a tuple of two such
+    batches for the differential detector (both conditions sharded alike)."""
     import jax
 
     sharding = block_sharding(mesh)
 
-    def runner(detector, blocks: np.ndarray):
-        B = blocks.shape[0]
+    def runner(detector, blocks):
+        parts = blocks if isinstance(blocks, tuple) else (blocks,)
+        B = parts[0].shape[0]
         nb = mesh.shape["block"]
         pad = (-B) % nb
         if pad:
-            blocks = np.concatenate(
-                [blocks, np.zeros((pad,) + blocks.shape[1:], blocks.dtype)])
-        arr = jax.device_put(blocks, sharding)
-        out = detector.fn(arr)
+            parts = tuple(
+                np.concatenate(
+                    [b, np.zeros((pad,) + b.shape[1:], b.dtype)])
+                for b in parts)
+        arrs = tuple(jax.device_put(b, sharding) for b in parts)
+        out = detector.fn(*arrs)
         if pad:
             out = jax.tree.map(lambda a: a[:B], out)
         return out

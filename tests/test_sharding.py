@@ -94,3 +94,21 @@ def test_shard_chromosomes():
     parts = [shard_chromosomes(chroms, p, 4) for p in range(4)]
     assert sorted(sum(parts, [])) == sorted(chroms)
     assert all(abs(len(p) - len(chroms) / 4) <= 1 for p in parts)
+
+
+def test_diff_pipeline_with_sharded_runner_matches():
+    from mustache_tpu.diff import detect_diff_loops_coo
+
+    d_px = 150
+    x1, y1, v1, _ = synthetic_hic(2600, d_px, seed=73, n_loops=40)
+    x2, y2, v2, _ = synthetic_hic(2600, d_px, seed=74, n_loops=40)
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", block_batch=2)
+    base = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), cfg)
+    mesh = make_mesh(n_block=8, n_row=1)
+    shard = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), cfg,
+                                  runner=make_runner(mesh))
+    assert [(a, b, s, t) for a, b, _, s, t in base] == \
+           [(a, b, s, t) for a, b, _, s, t in shard]
+    np.testing.assert_allclose([q for _, _, q, _, _ in base],
+                               [q for _, _, q, _, _ in shard], rtol=1e-3)

@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
-"""Benchmark: chr21-scale 5kb loop calling, end to end.
+"""Benchmark: chr21-scale 5kb loop calling + a 1kb Micro-C-shaped slice.
 
-Prints ONE JSON line:
+Prints one JSON line per metric; the LAST line is the headline metric:
   {"metric": "chr21_5kb_Mb_per_s", "value": <float>, "unit": "Mb/s",
    "vs_baseline": <float>}
 
-The workload is a deterministic synthetic chr21 (9,629 bins at 5kb, 2Mb
-band, ~3.4M contacts — the shape of the reference's bundled golden data,
-whose raw blob is stripped from this mount). "value" is genome megabases
-processed per second by the full pipeline (normalize + densify + device
-detection + host clustering), excluding compile time. The baseline is the
-same algorithm run through the scipy oracle pipeline (the reference's
-compute path: C gaussian_filter/maximum_filter + BH), measured once on this
-machine and cached in BENCH_BASELINE.json; vs_baseline = value / baseline.
+Workload 1 (headline) is a deterministic synthetic chr21 (9,629 bins at
+5kb, 2Mb band, ~3.4M contacts — the shape of the reference's bundled
+golden data, whose raw blob is stripped from this mount). Workload 2 is a
+12Mb slice at 1kb resolution (12,000 bins, 2Mb band = 2,000-bin-wide band,
+4000^2 blocks — the BASELINE.json config-3 Micro-C shape). "value" is
+genome megabases processed per second by the full pipeline (normalize +
+densify + device detection + host clustering), excluding compile time. The
+baseline is the same algorithm run through the scipy oracle pipeline (the
+reference's compute path: C gaussian_filter/maximum_filter + BH), measured
+once per workload on this machine and cached in BENCH_BASELINE.json;
+vs_baseline = value / baseline.
 """
 
 import json
@@ -28,6 +31,9 @@ import numpy as np
 CHR21_BINS = 9629          # data/chr21_5kb.KRnorm: 48.145 Mb at 5kb
 CHR21_MB = 48.145
 D_PX = 400                 # 2 Mb band at 5kb
+BINS_1KB = 12000           # 12 Mb slice at 1kb
+MB_1KB = 12.0
+D_PX_1KB = 2000            # 2 Mb band at 1kb
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
@@ -39,13 +45,15 @@ def build_workload():
     return x, y, v
 
 
-def run_engine(x, y, v, cfg):
-    from mustache_tpu.pipeline import detect_loops_coo
+def build_workload_1kb():
+    from synthetic import synthetic_hic
 
-    return detect_loops_coo(x.copy(), y.copy(), v.copy(), cfg)
+    x, y, v, _ = synthetic_hic(BINS_1KB, D_PX_1KB, seed=1011, n_loops=150,
+                               loop_strength=3.0, density=0.95)
+    return x, y, v
 
 
-def measure_engine():
+def _setup_jax_cache():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_mustache"))
     import jax
@@ -54,74 +62,103 @@ def measure_engine():
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
     except Exception:
         pass
+    return jax
 
-    from mustache_tpu.config import DetectionConfig
 
-    cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
-                          pt=0.1, st=0.8, precision="float32")
-    x, y, v = build_workload()
+def _measure(tag, x, y, v, cfg, mb, warm_runs):
+    import jax
+    from mustache_tpu.pipeline import detect_loops_coo
+
+    def run():
+        return detect_loops_coo(x.copy(), y.copy(), v.copy(), cfg)
 
     t0 = time.time()
-    loops = run_engine(x, y, v, cfg)        # includes compile
+    loops = run()                           # includes compile
     cold = time.time() - t0
     warms = []
-    for _ in range(3):                       # tunneled-TPU latency is noisy
+    for _ in range(warm_runs):              # tunneled-TPU latency is noisy
         t0 = time.time()
-        loops = run_engine(x, y, v, cfg)
+        loops = run()
         warms.append(time.time() - t0)
     warm = min(warms)
-    print(f"# engine: {len(loops)} loops; cold {cold:.1f}s "
+    print(f"# {tag}: {len(loops)} loops; cold {cold:.1f}s "
           f"warm {'/'.join(f'{w:.2f}' for w in warms)}s "
           f"backend={jax.default_backend()}", file=sys.stderr)
-    return CHR21_MB / warm, loops
+    return mb / warm
 
 
-def measure_baseline(x, y, v):
+def _measure_baseline(tag, x, y, v, cfg, mb, d_px):
     """Oracle (scipy) pipeline — the reference's compute path, 1 process."""
     from oracle import detect_block_oracle, normalize_sparse_oracle
-    from mustache_tpu.config import DetectionConfig, chunk_grid, block_mask_sizes
+    from mustache_tpu.config import chunk_grid, block_mask_sizes
     from mustache_tpu.pipeline import densify_block
 
-    cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
-                          pt=0.1, st=0.8)
     t0 = time.time()
     vv = v.copy()
-    normalize_sparse_oracle(x, y, vv, 5000, D_PX)
+    normalize_sparse_oracle(x, y, vv, cfg.resolution, d_px)
     n = int(max(x.max(), y.max())) + 1
-    start, end = chunk_grid(n, cfg.chunk_size, D_PX)
-    masks = block_mask_sizes(start, end, D_PX)
+    start, end = chunk_grid(n, cfg.chunk_size, d_px)
+    masks = block_mask_sizes(start, end, d_px)
     loops = []
     for i in range(len(start)):
         cc = densify_block(x, y, vv, start[i], end[i], cfg.chunk_size)
-        rows = detect_block_oracle(cc, [1.6, 3.2], D_PX, 0.8, 0.1,
+        rows = detect_block_oracle(cc, [1.6, 3.2], d_px, cfg.st, cfg.pt,
                                    start=start[i])
         for r in rows:
             if r[0] >= start[i] + masks[i] or r[1] >= start[i] + masks[i]:
                 loops.append(r)
     elapsed = time.time() - t0
-    print(f"# baseline(scipy oracle, 1 proc): {len(loops)} loops "
+    print(f"# baseline(scipy oracle, 1 proc) {tag}: {len(loops)} loops "
           f"in {elapsed:.1f}s", file=sys.stderr)
-    return CHR21_MB / elapsed
+    return mb / elapsed
 
 
 def main():
-    value, _ = measure_engine()
+    _setup_jax_cache()
+    from mustache_tpu.config import DetectionConfig
 
-    if os.path.exists(BASELINE_FILE):
-        base = json.load(open(BASELINE_FILE))["mb_per_s"]
-    else:
-        x, y, v = build_workload()
-        base = measure_baseline(x, y, v)
+    base = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
+        else {}
+    updated = False
+
+    # ---- 1kb Micro-C-shaped slice (secondary metric, printed first) ------
+    cfg_1kb = DetectionConfig(resolution=1000, distance_bp=2_000_000,
+                              pt=0.1, st=0.8, precision="float32")
+    x, y, v = build_workload_1kb()
+    value_1kb = _measure("engine 1kb", x, y, v, cfg_1kb, MB_1KB, warm_runs=2)
+    if "mb_per_s_1kb" not in base:
+        base["mb_per_s_1kb"] = _measure_baseline(
+            "1kb", x, y, v, cfg_1kb, MB_1KB, D_PX_1KB)
+        updated = True
+    print(json.dumps({
+        "metric": "micro_c_1kb_Mb_per_s",
+        "value": round(value_1kb, 3),
+        "unit": "Mb/s",
+        "vs_baseline": round(value_1kb / base["mb_per_s_1kb"], 2),
+    }))
+
+    # ---- chr21 5kb (headline metric, LAST line) --------------------------
+    cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
+                          pt=0.1, st=0.8, precision="float32")
+    x, y, v = build_workload()
+    value = _measure("engine 5kb", x, y, v, cfg, CHR21_MB, warm_runs=3)
+    if "mb_per_s" not in base:
+        base["mb_per_s"] = _measure_baseline("5kb", x, y, v, cfg, CHR21_MB,
+                                             D_PX)
+        updated = True
+
+    if updated:
+        base.setdefault("workload", "synthetic chr21 5kb + 12Mb 1kb slice, "
+                                    "see bench.py")
+        base.setdefault("note", "scipy oracle pipeline, single process")
         with open(BASELINE_FILE, "w") as fh:
-            json.dump({"mb_per_s": base,
-                       "workload": "synthetic chr21 5kb, see bench.py",
-                       "note": "scipy oracle pipeline, single process"}, fh)
+            json.dump(base, fh)
 
     print(json.dumps({
         "metric": "chr21_5kb_Mb_per_s",
         "value": round(value, 3),
         "unit": "Mb/s",
-        "vs_baseline": round(value / base, 2),
+        "vs_baseline": round(value / base["mb_per_s"], 2),
     }))
 
 

@@ -115,7 +115,32 @@ def build_parser(diff: bool = False) -> argparse.ArgumentParser:
                         "the same output path and parameters.")
     p.add_argument("--engine-json-log", dest="json_log", action="store_true",
                    help="Structured JSON event log on stderr.")
+    # multi-host execution (replaces the reference's sequential
+    # per-chromosome loop, mustache.py:1057-1080, with a chromosome shard
+    # per process; jax.distributed + process-0 assembly)
+    p.add_argument("--engine-platform", dest="platform", default="",
+                   choices=["", "cpu", "tpu"],
+                   help="Force the JAX backend (the host environment may "
+                        "pin a TPU plugin that ignores JAX_PLATFORMS).")
+    p.add_argument("--engine-coordinator", dest="coordinator", default="",
+                   help="host:port of process 0 for multi-host runs "
+                        "(env MTPU_COORDINATOR).")
+    p.add_argument("--engine-nprocs", dest="engine_nprocs", type=int,
+                   default=0, help="Total engine processes in a multi-host "
+                                   "run (env MTPU_NPROCS).")
+    p.add_argument("--engine-procid", dest="engine_procid", type=int,
+                   default=-1, help="This process's id in a multi-host run "
+                                    "(env MTPU_PROCID).")
     return p
+
+
+def resolve_distributed(args):
+    """(coordinator, nprocs, procid) from flags, falling back to env."""
+    nprocs = args.engine_nprocs or int(os.environ.get("MTPU_NPROCS", "1"))
+    procid = args.engine_procid if args.engine_procid >= 0 else \
+        int(os.environ.get("MTPU_PROCID", "0"))
+    coordinator = args.coordinator or os.environ.get("MTPU_COORDINATOR", "")
+    return coordinator or None, nprocs, procid
 
 
 def parse_args(argv):
@@ -186,10 +211,13 @@ def load_contacts(f, norm_method, chrm_size, distance_bp, chromosome,
 
 
 def main(argv=None):
-    from mustache_tpu.runtime import enable_compilation_cache
-    enable_compilation_cache()
     start_time = time.time()
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from mustache_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     print("\n")
 
     f = args.f_path
@@ -204,6 +232,11 @@ def main(argv=None):
         return 1
 
     dist_bp = clamp_distance_filter(parse_bp(args.distFilter), res)
+
+    coordinator, nprocs, procid = resolve_distributed(args)
+    if nprocs > 1:
+        from mustache_tpu.sharding import initialize_distributed
+        initialize_distributed(coordinator, nprocs, procid)
 
     chr_list, chr_list2, chrSize_in_bp = _chromosome_lists(args, f, res)
     if chr_list is None:
@@ -227,7 +260,10 @@ def main(argv=None):
               "BIN2_START\tBIN2_END\tFDR\tDETECTION_SCALE\n")
 
     manifest = None
-    if args.resume:
+    if args.resume or nprocs > 1:
+        # multi-host runs always go through the manifest: each process
+        # writes atomic per-chromosome part files to the shared output
+        # directory and process 0 assembles them after the barrier
         from mustache_tpu.manifest import RunManifest, config_fingerprint
         base_cfg = DetectionConfig(
             resolution=res, distance_bp=dist_bp, pt=args.pt, st=args.st,
@@ -235,19 +271,28 @@ def main(argv=None):
         manifest = RunManifest(
             args.outdir, config_fingerprint(base_cfg, {"f": os.path.abspath(f)}))
         done = manifest.completed_chromosomes()
-        if done:
+        if args.resume and done:
             log.event("resume", skipping=sorted(done))
 
-    if not args.resume:
+    if manifest is None:
         with open(args.outdir, "w") as out:
             out.write(header)
 
-    for i, (chromosome, chromosome2) in enumerate(zip(chr_list, chr_list2)):
+    pairs = list(zip(chr_list, chr_list2))
+    if nprocs > 1:
+        from mustache_tpu.sharding import shard_chromosomes
+        my_idx = shard_chromosomes(list(range(len(pairs))), procid, nprocs)
+        pairs = [pairs[i] for i in my_idx]
+        log.event("shard", process=procid, nprocs=nprocs,
+                  chromosomes=[str(c) for c, _ in pairs])
+
+    for i, (chromosome, chromosome2) in enumerate(pairs):
         if chromosome != chromosome2:
             print("Interchromosomal analysis is not supported "
                   "(non-functional in the reference as well).")
             return 1
-        if manifest and str(chromosome) in manifest.completed_chromosomes():
+        if manifest and args.resume and \
+                str(chromosome) in manifest.completed_chromosomes():
             continue
         chrm_size = False
         if chrSize_in_bp:
@@ -279,7 +324,13 @@ def main(argv=None):
                 out.write(rows)
         start_time = time.time()
 
-    if manifest:
+    if nprocs > 1:
+        # all parts on disk before process 0 concatenates them
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mustache-tpu-parts-complete")
+        if procid == 0:
+            manifest.assemble([str(c) for c in chr_list], header)
+    elif manifest:
         manifest.assemble([str(c) for c in chr_list], header)
 
     if args.profile_dir:

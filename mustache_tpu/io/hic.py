@@ -29,6 +29,7 @@ shared library, used when present) for ingest-bound workloads.
 from __future__ import annotations
 
 import dataclasses
+import math
 import struct
 import zlib
 
@@ -62,6 +63,41 @@ class _ZoomData:
     block_bin_count: int
     block_column_count: int
     blocks: list
+
+
+def cull_band_blocks(blocks: list, zoom: "_ZoomData", version: int,
+                     distance_bins: float) -> list:
+    """Blocks of an intra-chromosomal zoom that can intersect the diagonal
+    band ``|x - y| <= distance_bins``.
+
+    The reference's windowed straw walk (mustache.py:319-363) only ever
+    touches near-band data; decoding every block of a 1kb genome-wide zoom
+    would read ~10-100x more than the band holds. Block numbers encode
+    position (straw's getBlockNumbersForRegionFromBinPosition):
+
+    * v<9: ``number = row_block * block_column_count + col_block`` with
+      row from binY, col from binX; the block covers an axis-aligned
+      ``block_bin_count`` square, so its minimum ``|x - y|`` is
+      ``(|row - col| - 1) * block_bin_count + 1`` (0 when row == col).
+    * v9 intra: ``number = depth * block_column_count + pad`` where
+      ``depth = floor(log2(1 + |x-y| / (sqrt(2) * block_bin_count)))`` —
+      blocks at depth d hold distances >= (2^d - 1) * sqrt(2) *
+      block_bin_count.
+    """
+    bbc = zoom.block_bin_count
+    bcc = max(zoom.block_column_count, 1)
+    keep = []
+    s = math.sqrt(2.0) * bbc
+    for b in blocks:
+        if version >= 9:
+            depth = b.number // bcc
+            min_dist = (2.0 ** depth - 1.0) * s
+        else:
+            r, c = divmod(b.number, bcc)
+            min_dist = max(0, (abs(r - c) - 1) * bbc + 1)
+        if min_dist <= distance_bins:
+            keep.append(b)
+    return keep
 
 
 class _Reader:
@@ -111,21 +147,24 @@ class HicFile:
         self.version = r.i32()
         if not 6 <= self.version <= 9:
             raise ValueError(f"unsupported .hic version {self.version}")
-        self.master_index_pos = r.i64()
-        self.genome = r.cstr()
-        if self.version >= 9:
-            self.nvi_position = r.i64()
-            self.nvi_length = r.i64()
-        self.attributes = {}
-        for _ in range(r.i32()):
-            k = r.cstr()
-            self.attributes[k] = r.cstr()
-        self.chromosomes: list[HicChromosome] = []
-        for i in range(r.i32()):
-            name = r.cstr()
-            length = r.i64() if self.version >= 9 else r.i32()
-            self.chromosomes.append(HicChromosome(i, name, length))
-        self.resolutions = [r.i32() for _ in range(r.i32())]
+        try:
+            self.master_index_pos = r.i64()
+            self.genome = r.cstr()
+            if self.version >= 9:
+                self.nvi_position = r.i64()
+                self.nvi_length = r.i64()
+            self.attributes = {}
+            for _ in range(r.i32()):
+                k = r.cstr()
+                self.attributes[k] = r.cstr()
+            self.chromosomes: list[HicChromosome] = []
+            for i in range(r.i32()):
+                name = r.cstr()
+                length = r.i64() if self.version >= 9 else r.i32()
+                self.chromosomes.append(HicChromosome(i, name, length))
+            self.resolutions = [r.i32() for _ in range(r.i32())]
+        except struct.error as e:
+            raise ValueError(f"{path}: truncated .hic header") from e
         self._footer = None
 
     # ------------------------------------------------------------------
@@ -142,13 +181,17 @@ class HicFile:
             return self._footer
         self.f.seek(self.master_index_pos)
         r = _Reader(self.f)
-        _n_bytes_v5 = r.i64() if self.version >= 9 else r.i32()
-        entries = {}
-        for _ in range(r.i32()):
-            key = r.cstr()
-            pos = r.i64()
-            size = r.i32()
-            entries[key] = (pos, size)
+        try:
+            _n_bytes_v5 = r.i64() if self.version >= 9 else r.i32()
+            entries = {}
+            for _ in range(r.i32()):
+                key = r.cstr()
+                pos = r.i64()
+                size = r.i32()
+                entries[key] = (pos, size)
+        except struct.error as e:
+            raise IOError(
+                f"{self.path}: truncated or corrupt .hic footer") from e
 
         def skip_expected_vectors(with_type: bool):
             n = r.i32()
@@ -234,13 +277,21 @@ class HicFile:
     def _decode_block(self, entry: _BlockEntry):
         """Decode one compressed block into (binX, binY, counts) arrays."""
         self.f.seek(entry.position)
-        data = zlib.decompress(self.f.read(entry.size))
+        try:
+            data = zlib.decompress(self.f.read(entry.size))
+        except zlib.error as e:
+            raise IOError(f"corrupt .hic block at offset {entry.position} "
+                          f"(zlib: {e})") from e
         v = self.version
         off = 0
 
         def take(fmt, size):
             nonlocal off
-            out = struct.unpack_from(fmt, data, off)[0]
+            try:
+                out = struct.unpack_from(fmt, data, off)[0]
+            except struct.error as e:
+                raise IOError("truncated .hic block record stream at offset "
+                              f"{entry.position}") from e
             off += size
             return out
 
@@ -302,23 +353,31 @@ class HicFile:
                 np.asarray(vs, np.float64))
 
     def fetch_chromosome(self, chrom: str, resolution: int,
-                         norm: str | bool = False, unit: str = "BP"):
+                         norm: str | bool = False, unit: str = "BP",
+                         distance_bins: float | None = None):
         """All contact records of chrom x chrom at a resolution, as bin-index
-        COO triplets (x <= y), optionally normalized."""
+        COO triplets (x <= y), optionally normalized. ``distance_bins``
+        restricts decoding to blocks that can intersect the diagonal band
+        ``|x - y| <= distance_bins`` (records beyond it may still appear —
+        the caller's distance filter stays authoritative)."""
         c = self.chrom_by_name(chrom)
         zoom = self._matrix_zoom(c.index, c.index, unit, resolution)
         if zoom is None:
             return (np.array([], np.int64), np.array([], np.int64),
                     np.array([], np.float64))
+        blocks = zoom.blocks
+        if distance_bins is not None:
+            blocks = cull_band_blocks(blocks, zoom, self.version,
+                                      distance_bins)
 
         decoded = None
         try:
             from mustache_tpu.io import native
-            if native.available() and zoom.blocks:
+            if native.available() and blocks:
                 decoded = native.decode_hic_blocks(
                     self.path,
-                    np.array([b.position for b in zoom.blocks], np.int64),
-                    np.array([b.size for b in zoom.blocks], np.int32),
+                    np.array([b.position for b in blocks], np.int64),
+                    np.array([b.size for b in blocks], np.int32),
                     self.version)
         except ImportError:
             pass
@@ -326,7 +385,7 @@ class HicFile:
             x, y, v = decoded
         else:
             xs, ys, vs = [], [], []
-            for entry in zoom.blocks:
+            for entry in blocks:
                 bx, by, bv = self._decode_block(entry)
                 if len(bv):
                     xs.append(bx)
@@ -367,7 +426,8 @@ def read_hic_file(path: str, norm_method, chrm_size, distance_bp: int,
         raise NotImplementedError("inter-chromosomal .hic analysis not supported")
     hic = HicFile(path)
     norm = norm_method if norm_method else "KR"
-    x, y, v = hic.fetch_chromosome(chr1, res, norm=norm)
+    x, y, v = hic.fetch_chromosome(chr1, res, norm=norm,
+                                   distance_bins=distance_bp / res)
     hic.close()
     if len(v) == 0:
         print(f"There is no contact in chrmosome {chr1} to work on.")

@@ -9,6 +9,7 @@ packs here vs. streamed unpacks in the reader).
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from io import BytesIO
@@ -18,6 +19,15 @@ import numpy as np
 
 def _cstr(s: str) -> bytes:
     return s.encode() + b"\0"
+
+
+def _pack_block_v6(x, y, v) -> bytes:
+    """v6 block: record count then packed (int32 x, int32 y, float32 c)."""
+    out = BytesIO()
+    out.write(struct.pack("<i", len(v)))
+    for xi, yi, vi in zip(x, y, v):
+        out.write(struct.pack("<iif", int(xi), int(yi), float(vi)))
+    return zlib.compress(out.getvalue())
 
 
 def _pack_block_v8(x, y, v, use_short_counts: bool) -> bytes:
@@ -119,26 +129,35 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
         if name not in pixels:
             continue
         x, y, v = (np.asarray(a) for a in pixels[name])
-        # split into blocks of block_bins rows/cols
-        blocks = {}
-        for xi, yi, vi in zip(x, y, v):
-            key = (int(xi) // block_bins, int(yi) // block_bins)
-            blocks.setdefault(key, [[], [], []])
-            blocks[key][0].append(xi)
-            blocks[key][1].append(yi)
-            blocks[key][2].append(vi)
         n_cols = int(np.ceil((length / res) / block_bins))
+        # split into blocks; the block NUMBER encodes position per straw's
+        # conventions — v<9: row_block * n_cols + col_block (row from binY);
+        # v9 intra: depth * n_cols + pad with the diagonal depth/PAD scheme
+        blocks = {}
+        s9 = math.sqrt(2.0) * block_bins
+        for xi, yi, vi in zip(x, y, v):
+            if version >= 9:
+                depth = int(math.log2(1 + abs(int(yi) - int(xi)) / s9))
+                pad = (int(xi) + int(yi)) // 2 // block_bins
+                number = depth * n_cols + pad
+            else:
+                number = (int(yi) // block_bins) * n_cols \
+                    + (int(xi) // block_bins)
+            blocks.setdefault(number, [[], [], []])
+            blocks[number][0].append(xi)
+            blocks[number][1].append(yi)
+            blocks[number][2].append(vi)
         block_recs = []
-        for (bx, by), (xs, ys, vs) in sorted(blocks.items()):
-            number = by * n_cols + bx
+        for number, (xs, ys, vs) in sorted(blocks.items()):
             xs = np.asarray(xs); ys = np.asarray(ys); vs = np.asarray(vs)
             if version >= 9:
                 payload = _pack_block_v9(
                     xs, ys, vs, int_bins=(max(xs.max(), ys.max()) > 30000),
                     float_counts=not use_short_counts)
+            elif version == 6:
+                payload = _pack_block_v6(xs, ys, vs)
             else:
                 payload = _pack_block_v8(xs, ys, vs, use_short_counts)
-            pos = body.tell() + 10**9 * 0  # patched below: record then write
             block_recs.append((number, payload))
         start = body.tell()
         mat = BytesIO()

@@ -87,3 +87,59 @@ def test_two_process_distributed(tmp_path):
         loops = detect_loops_coo(x, y, v, cfg)
         want = [[l.bin1, l.bin2, round(l.q, 10), l.scale] for l in loops]
         assert merged[ch] == want, ch
+
+
+@pytest.mark.skipif(os.environ.get("MTPU_SKIP_DISTRIBUTED") == "1",
+                    reason="distributed smoke test disabled")
+def test_two_process_cli(tmp_path):
+    """End-to-end: the CLI itself runs distributed (--engine-nprocs /
+    --engine-procid / --engine-coordinator), shards chromosomes across
+    processes, and process 0 assembles the reference-format TSV. The result
+    must equal a single-process CLI run."""
+    from synthetic import synthetic_hic
+
+    res = 5000
+    contacts = tmp_path / "contacts.txt"
+    with open(contacts, "w") as fh:
+        for ci, ch in enumerate(["c0", "c1", "c2"]):
+            x, y, v, _ = synthetic_hic(800, 100, seed=310 + ci, n_loops=12)
+            for a, b, c in zip(x, y, v):
+                fh.write(f"{ch}\t{a*res}\t{ch}\t{b*res}\t{c}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    here = os.path.dirname(__file__)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, here, env.get("PYTHONPATH", "")])
+
+    base = [sys.executable, "-m", "mustache_tpu", "-f", str(contacts),
+            "-ch", "c0", "c1", "c2", "-r", "5kb", "-pt", "0.1", "-st", "0.8",
+            "-d", str(100 * res), "--engine-platform", "cpu"]
+
+    single = tmp_path / "single.tsv"
+    p = subprocess.run(base + ["-o", str(single)], env=env, cwd=here,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       timeout=600)
+    assert p.returncode == 0, p.stdout.decode()[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    multi = tmp_path / "multi.tsv"
+    procs = [
+        subprocess.Popen(
+            base + ["-o", str(multi), "--engine-coordinator", coord,
+                    "--engine-nprocs", "2", "--engine-procid", str(pid)],
+            env=env, cwd=here, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    assert multi.read_text() == single.read_text()
+    assert len(multi.read_text().splitlines()) > 3   # header + loops

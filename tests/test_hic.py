@@ -29,7 +29,7 @@ def test_header_roundtrip(tmp_path, version):
     assert hic.genome == "testgenome"
 
 
-@pytest.mark.parametrize("version", [8, 9])
+@pytest.mark.parametrize("version", [6, 7, 8, 9])
 @pytest.mark.parametrize("short_counts", [False, True])
 def test_fetch_roundtrip(tmp_path, version, short_counts):
     x, y, v = make_pixels()
@@ -37,6 +37,7 @@ def test_fetch_roundtrip(tmp_path, version, short_counts):
     write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)},
               version=version, use_short_counts=short_counts)
     hic = HicFile(path)
+    assert hic.version == version
     X, Y, V = hic.fetch_chromosome("chr1", 5000)
     got = {(a, b): c for a, b, c in zip(X, Y, V)}
     want = {(a, b): c for a, b, c in zip(x, y, v)}
@@ -130,3 +131,94 @@ def test_v8_count_flag_polarity(tmp_path, version, float_counts):
         assert list(nx) == [103, 109]
         assert list(ny) == [207, 207]
         assert list(nv) == [5.0, 11.0]
+
+
+@pytest.mark.parametrize("version", [6, 8, 9])
+def test_band_culling_equivalence(tmp_path, version):
+    """Band-culled fetch must contain every in-band record of the full
+    fetch, while decoding strictly fewer blocks (mustache.py:319-363 only
+    ever touches near-band data)."""
+    from mustache_tpu.io.hic import cull_band_blocks
+
+    n, d_full = 400, 300
+    x, y, v = make_pixels(n=n, d_px=d_full, seed=87)
+    path = str(tmp_path / "c.hic")
+    write_hic(path, [("chr1", n * 5000)], 5000, {"chr1": (x, y, v)},
+              version=version, block_bins=32)
+    hic = HicFile(path)
+    d_band = 50
+    Xf, Yf, Vf = hic.fetch_chromosome("chr1", 5000)
+    Xc, Yc, Vc = hic.fetch_chromosome("chr1", 5000, distance_bins=d_band)
+    keep = np.abs(Xf - Yf) <= d_band
+    want = {(a, b): c for a, b, c in zip(Xf[keep], Yf[keep], Vf[keep])}
+    got = {(a, b): c for a, b, c in
+           zip(Xc, Yc, Vc) if abs(a - b) <= d_band}
+    assert got == want
+    # culling must actually drop far blocks
+    zoom = hic._matrix_zoom(1, 1, "BP", 5000)
+    culled = cull_band_blocks(zoom.blocks, zoom, version, d_band)
+    assert 0 < len(culled) < len(zoom.blocks)
+
+
+def test_read_hic_file_band_culled_matches_full(tmp_path):
+    """The reference-shaped entry point returns identical triplets whether
+    or not far blocks were decoded (the band filter is authoritative)."""
+    n = 400
+    x, y, v = make_pixels(n=n, d_px=300, seed=88)
+    w = np.ones(n)
+    path = str(tmp_path / "rc.hic")
+    write_hic(path, [("chr21", n * 5000)], 5000, {"chr21": (x, y, v)},
+              norms={("KR", "chr21"): w}, block_bins=32)
+    X, Y, V = read_hic_file(path, False, False, 40 * 5000, "21", "21", 5000)
+    hic = HicFile(path)
+    Xf, Yf, Vf = hic.fetch_chromosome("chr21", 5000, norm="KR")
+    keep = (np.abs(Xf - Yf) <= 40) & (Vf > 0) & ~np.isnan(Vf)
+    assert {(a, b, c) for a, b, c in zip(X, Y, V)} == \
+           {(a, b, c) for a, b, c in zip(Xf[keep], Yf[keep], Vf[keep])}
+
+
+def test_truncated_header(tmp_path):
+    x, y, v = make_pixels()
+    path = str(tmp_path / "th.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)})
+    blob = open(path, "rb").read()
+    p = tmp_path / "trunc.hic"
+    p.write_bytes(blob[:30])                 # cut inside the header
+    with pytest.raises(ValueError):
+        HicFile(str(p))
+
+
+def test_truncated_footer(tmp_path):
+    x, y, v = make_pixels()
+    path = str(tmp_path / "tf.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)})
+    blob = open(path, "rb").read()
+    p = tmp_path / "trunc.hic"
+    p.write_bytes(blob[:-20])                # cut inside the footer
+    hic = HicFile(str(p))
+    with pytest.raises(IOError):
+        hic.fetch_chromosome("chr1", 5000)
+
+
+def test_corrupt_block_stream(tmp_path):
+    """Flipping bytes inside a compressed block must raise a clean IOError
+    from both the pure-Python and native decode paths, not emit garbage."""
+    x, y, v = make_pixels()
+    path = str(tmp_path / "cb.hic")
+    write_hic(path, [("chr1", 400 * 5000)], 5000, {"chr1": (x, y, v)})
+    hic = HicFile(path)
+    zoom = hic._matrix_zoom(1, 1, "BP", 5000)
+    entry = zoom.blocks[0]
+    blob = bytearray(open(path, "rb").read())
+    for i in range(entry.position + 4, entry.position + entry.size):
+        blob[i] ^= 0xFF
+    p = tmp_path / "corrupt.hic"
+    p.write_bytes(bytes(blob))
+    with pytest.raises(IOError):
+        HicFile(str(p)).fetch_chromosome("chr1", 5000)
+    from mustache_tpu.io import native
+    if native.available():
+        with pytest.raises(IOError):
+            native.decode_hic_blocks(
+                str(p), np.array([entry.position], np.int64),
+                np.array([entry.size], np.int32), 8)

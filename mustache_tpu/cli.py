@@ -23,82 +23,91 @@ from mustache_tpu.pipeline import detect_loops_coo
 
 
 def build_parser(diff: bool = False) -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Check the help flag")
+    p = argparse.ArgumentParser(
+        description="TPU-native multi-scale chromatin loop detection "
+                    "(reference-compatible flags)")
     if diff:
         p.add_argument("-f1", "--file1", dest="f_path1", required=False,
-                       help="REQUIRED: Contact map")
+                       help="first condition's contact map "
+                            "(.hic/.cool/.mcool/text)")
         p.add_argument("-f2", "--file2", dest="f_path2", required=False,
-                       help="REQUIRED: Contact map")
+                       help="second condition's contact map")
     else:
         p.add_argument("-f", "--file", dest="f_path", required=False,
-                       help="REQUIRED: Contact map")
+                       help="contact map (.hic/.cool/.mcool/text)")
     p.add_argument("-d", "--distance", dest="distFilter", required=False,
-                   help="REQUIRED: Maximum distance (in bp) allowed between loop loci")
+                   help="largest anchor separation tested, in bp "
+                        "(clamped to the reference's bounds)")
     p.add_argument("-o", "--outfile", dest="outdir", required=True,
-                   help="REQUIRED: Name of the output file.")
+                   help="output TSV path")
     p.add_argument("-r", "--resolution", dest="resolution", required=True,
-                   help="REQUIRED: Resolution used for the contact maps")
+                   help="bin size, e.g. 5kb or 5000 (.cool overrides this "
+                        "with its own bin size)")
     if diff:
         p.add_argument("-bed1", "--bed1", dest="bed1", default="",
-                       help="BED file for HiC-Pro type input")
+                       help="HiC-Pro bed (condition 1)")
         p.add_argument("-m1", "--matrix1", dest="mat1", default="",
-                       help="MATRIX file for HiC-Pro type input")
+                       help="HiC-Pro matrix (condition 1)")
         p.add_argument("-b1", "--biases1", dest="biasfile1", required=False,
-                       help="RECOMMENDED: biases calculated by ICE or KR norm")
+                       help="ICE/KR bias vector for condition 1")
         p.add_argument("-bed2", "--bed2", dest="bed2", default="",
-                       help="BED file for HiC-Pro type input")
+                       help="HiC-Pro bed (condition 2)")
         p.add_argument("-m2", "--matrix2", dest="mat2", default="",
-                       help="MATRIX file for HiC-Pro type input")
+                       help="HiC-Pro matrix (condition 2)")
         p.add_argument("-b2", "--biases2", dest="biasfile2", required=False,
-                       help="RECOMMENDED: biases calculated by ICE or KR norm")
+                       help="ICE/KR bias vector for condition 2")
     else:
         p.add_argument("-bed", "--bed", dest="bed", default="",
-                       help="BED file for HiC-Pro type input")
+                       help="HiC-Pro bed file (use with -m)")
         p.add_argument("-m", "--matrix", dest="mat", default="",
-                       help="MATRIX file for HiC-Pro type input")
+                       help="HiC-Pro matrix file (use with -bed)")
         p.add_argument("-b", "--biases", dest="biasfile", required=False,
-                       help="RECOMMENDED: biases calculated by ICE or KR norm "
-                            "for each locus for contact map are read from BIASFILE")
+                       help="per-locus ICE/KR bias vector; raw text counts "
+                            "are divided by the factor at both anchors")
     p.add_argument("-cz", "--chromosomeSize", default="", dest="chrSize_file",
-                   help="RECOMMENDED: .hic corresponding chromosome size file.",
+                   help="chromosome-sizes file (two columns: name, bp); "
+                        "needed for text input without explicit sizes",
                    required=False)
     p.add_argument("-norm", "--normalization", default=False, dest="norm_method",
-                   help="RECOMMENDED: Hi-C normalization method (KR, VC,...).",
+                   help=".hic norm vector name (KR, VC, SCALE, ...) or the "
+                        "cooler balance column",
                    required=False)
     p.add_argument("-st", "--sparsityThreshold", dest="st", type=float,
                    default=0.88,
-                   help="OPTIONAL: Mustache filters out contacts in sparse "
-                        "areas, you can relax this for sparse datasets "
-                        "(i.e. -st 0.8). Default value is 0.88.")
+                   help="local-support fraction below which a candidate is "
+                        "discarded; lower it (e.g. 0.8) for sparse maps "
+                        "(default 0.88)")
     p.add_argument("-pt", "--pThreshold", dest="pt", type=float, default=0.2,
-                   help="OPTIONAL: P-value threshold for the results in the "
-                        "final output. Default is 0.2")
+                   help="FDR (BH q-value) cutoff for reported loops "
+                        "(default 0.2)")
     if diff:
         p.add_argument("-pt2", "--pThreshold2", dest="pt2", type=float,
                        default=0.1,
-                       help="OPTIONAL: P-value threshold for the differential "
-                            "results. Default is 0.1")
+                       help="FDR cutoff for the differential calls "
+                            "(default 0.1)")
     p.add_argument("-sz", "--sigmaZero", dest="s_z", type=float, default=1.6,
-                   help="OPTIONAL: sigma0 value for the method. DEFAULT is "
-                        "1.6. Experimentally chosen for 5Kb resolution")
+                   help="base scale sigma0 of the Gaussian ladder "
+                        "(default 1.6, tuned for 5kb)")
     p.add_argument("-oc", "--octaves", dest="octaves", default=2, type=int,
-                   help="OPTIONAL: Octave count for the method. DEFAULT is 2.")
+                   help="number of scale-space octaves (default 2)")
     p.add_argument("-i", "--iterations", dest="s", default=10, type=int,
-                   help="OPTIONAL: iteration count for the method. DEFAULT is "
-                        "10. Experimentally chosen for 5Kb resolution")
+                   help="accepted for compatibility; the ladder depth is "
+                        "fixed at 10 as in the reference (the flag is inert "
+                        "there too, mustache.py:711)")
     p.add_argument("-p", "--processes", dest="nprocesses", default=4, type=int,
-                   help="OPTIONAL: Accepted for compatibility; the TPU engine "
-                        "parallelizes blocks on-device instead of forking.")
+                   help="accepted for compatibility; the TPU engine "
+                        "parallelizes blocks on-device instead of forking")
     p.add_argument("-ch", "--chromosome", dest="chromosome", nargs="+",
                    default="n",
-                   help="REQUIRED: Specify which chromosome to run the "
-                        "program for. Optional for cooler files.")
+                   help="chromosome(s) to analyze; auto-discovered for "
+                        ".hic/.cool/.mcool inputs")
     p.add_argument("-ch2", "--chromosome2", dest="chromosome2", nargs="+",
                    default="n",
-                   help="Optional: Specify the second chromosome for "
-                        "interchromosomal analysis.")
+                   help="second chromosome list for inter-chromosomal "
+                        "analysis")
     p.add_argument("-v", "--verbose", dest="verbose", type=bool, default=True,
-                   help="OPTIONAL: Verbosity of the program")
+                   help="accepted for compatibility (the reference never "
+                        "consults it, mustache.py:171-177)")
     # engine extras (no reference counterpart)
     p.add_argument("--engine-precision", dest="precision", default="float32",
                    choices=["float32", "float64"],

@@ -47,6 +47,29 @@ SENTINEL = 2.0        # fills the masked wedges; participates in the blurs
 LOG2 = math.log(2.0)  # log-space image of the "untested" marker q=2
 
 
+def band_width(n: int, d_px: int) -> int:
+    """Lane-aligned diagonal-band width: data rows (d <= d_px+1 after the
+    ingest distance filters) + stencil halo, rounded up to the 128-lane
+    tile. One formula shared by _BandGeom, the fused kernel, and the
+    chromosome-band transfer layout."""
+    return min(-(-min(d_px + 4, n) // 128) * 128, n)
+
+
+def dense_from_band(band_blk):
+    """Dense [N, N] block from its band image band[i, d] = dense[i, i+d].
+
+    Inverse of ``_BandGeom.shear`` via the same flat [N, N+1] reinterpret:
+    cell (i, d) of the widened band sits at flat index i*(N+1)+d =
+    i*N + (i+d), i.e. dense (i, i+d). Band cells that would fall beyond
+    dense column N-1 (block-truncated tails and the zero pad) wrap into the
+    *lower triangle* of the next row, which the sentinel fill overwrites
+    before anything reads it — so the reconstruction is exact without any
+    masking (matches pipeline.densify_block bit for bit)."""
+    N, Dl = band_blk.shape
+    wide = jnp.pad(band_blk, ((0, 0), (0, N + 1 - Dl)))
+    return wide.reshape(-1)[: N * N].reshape(N, N)
+
+
 # ---------------------------------------------------------------------------
 # device-side pieces
 # ---------------------------------------------------------------------------
@@ -210,6 +233,7 @@ class BlockDetector:
     n: int
     _fn: Any         # jitted ([B, N, N], st, log_pt) -> dict of arrays
     _fn_single: Any  # jitted ([N, N], st, log_pt) -> dict of arrays
+    _fn_band: Any    # jitted ([rows, Dl] band, [B] starts, st, log_pt)
 
     @property
     def _scalars(self):
@@ -223,6 +247,13 @@ class BlockDetector:
     def fn_single(self, block):
         st, lp = self._scalars
         return self._fn_single(block, st, lp)
+
+    def fn_band(self, band, starts):
+        """Batch detection from a device-resident chromosome band
+        (band[i, d] = map[i, i+d], rows >= max(starts)+N): each start is
+        sliced and densified on device."""
+        st, lp = self._scalars
+        return self._fn_band(band, starts, st, lp)
 
     def __call__(self, blocks):
         return self.fn(blocks)
@@ -262,7 +293,7 @@ class _BandGeom:
         N = c.shape[0]
         self.N = N
         self.dtype = c.dtype
-        self.Dl = Dl = min(-(-min(d_px + 4, N) // 128) * 128, N)
+        self.Dl = Dl = band_width(N, d_px)
         self.band_dl = (jnp.zeros_like(c[:, :Dl], dtype=jnp.int32)
                         + np.arange(Dl, dtype=np.int32)[None, :])
         self.band_il = (jnp.zeros_like(self.band_dl)
@@ -580,8 +611,6 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         from mustache_tpu.kernels.fused_ladder import fused_ladder_nms_batched
         KR, WC, R, TOPPAD, WINROWS = fused_mats
 
-        Dl_of = lambda n_: min(-(-min(d_px + 4, n_) // 128) * 128, n_)
-
         def fn_base(blocks, st, log_pt):
             cs, nzs, _ = jax.vmap(
                 lambda c: _preamble(c.astype(dtype), d_px, True))(blocks)
@@ -589,7 +618,8 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
                 cs, nzs.astype(jnp.float32), KR, WC, R=R, TOPPAD=TOPPAD,
                 WINROWS=WINROWS, n_octaves=len(octave_values),
                 planes_per_octave=spec.planes_per_octave,
-                DB=Dl_of(blocks.shape[1]), interpret=pallas_interpret)
+                DB=band_width(blocks.shape[1], d_px),
+                interpret=pallas_interpret)
             return jax.vmap(
                 lambda c, a, b, l, s: one(c, st, log_pt,
                                           band_state=(a, b, l, s)),
@@ -597,9 +627,20 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
 
         fn = jax.jit(fn_base)
     else:
-        fn = jax.jit(jax.vmap(one, in_axes=(0, None, None)))
+        fn_base = jax.vmap(one, in_axes=(0, None, None))
+        fn = jax.jit(fn_base)
+
+    def fn_band_base(band, starts, st, log_pt):
+        # chromosome band resident on device; each block is a dynamic row
+        # slice + dense reconstruction — no per-batch H2D at all
+        blocks = jax.vmap(
+            lambda s: dense_from_band(
+                lax.dynamic_slice_in_dim(band, s, n, axis=0)))(starts)
+        return fn_base(blocks, st, log_pt)
+
+    fn_band = jax.jit(fn_band_base)
     fn_single = jax.jit(one)
-    return spec, fn, fn_single
+    return spec, fn, fn_single, fn_band
 
 
 def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
@@ -610,11 +651,12 @@ def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
         # layout here additionally assumes the intra distance bound
         raise NotImplementedError("inter-chromosomal detection not supported")
     # cache key holds only graph-shaping fields: thresholds are runtime args
-    spec, fn, fn_single = _build_detector_cached(
+    spec, fn, fn_single, fn_band = _build_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
         max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
         getattr(cfg, "_pallas_interpret", False))
-    return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single)
+    return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single,
+                         _fn_band=fn_band)
 
 
 # ---------------------------------------------------------------------------

@@ -178,6 +178,7 @@ class DiffBlockDetector:
     n: int
     _fn: Any
     _fn_single: Any
+    _fn_band: Any
 
     @property
     def _scalars(self):
@@ -191,6 +192,12 @@ class DiffBlockDetector:
     def fn_single(self, c1, c2):
         st, lp = self._scalars
         return self._fn_single(c1, c2, st, lp)
+
+    def fn_band(self, band1, band2, starts):
+        """Batch detection from device-resident chromosome bands of both
+        conditions (see detect.BlockDetector.fn_band)."""
+        st, lp = self._scalars
+        return self._fn_band(band1, band2, starts, st, lp)
 
 
 @functools.lru_cache(maxsize=16)
@@ -212,19 +219,30 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
         return _diff_detect_one(c1.astype(dtype), c2.astype(dtype), st,
                                 log_pt, kernels=kernels, **kw)
 
+    def fn_band_base(band1, band2, starts, st, log_pt):
+        # chromosome bands resident on device; blocks are dynamic row
+        # slices + dense reconstruction (detect.dense_from_band)
+        from mustache_tpu.detect import dense_from_band
+
+        def blk(band, s):
+            return dense_from_band(lax.dynamic_slice_in_dim(band, s, n, 0))
+
+        return jax.vmap(
+            lambda s: one(blk(band1, s), blk(band2, s), st, log_pt))(starts)
+
     return (spec, jax.jit(jax.vmap(one, in_axes=(0, 0, None, None))),
-            jax.jit(one))
+            jax.jit(one), jax.jit(fn_band_base))
 
 
 def build_diff_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
                         max_candidates: int | None = None) -> DiffBlockDetector:
     if not intra:
         raise NotImplementedError("inter-chromosomal detection not supported")
-    spec, fn, fn_single = _build_diff_detector_cached(
+    spec, fn, fn_single, fn_band = _build_diff_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
         max_candidates or cfg.max_candidates)
     return DiffBlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn,
-                             _fn_single=fn_single)
+                             _fn_single=fn_single, _fn_band=fn_band)
 
 
 # ---------------------------------------------------------------------------
@@ -335,18 +353,20 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
                key=lambda b: (-(-nblocks // b) * b, -b))
 
 
-def _maybe_regrow_diff(block_out: dict, cc1: np.ndarray, cc2: np.ndarray,
-                       cfg: DetectionConfig, width: int) -> dict:
+def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig, width: int,
+                       densify) -> dict:
     """If either condition's candidate table overflowed (more pixels below
     the q threshold than capacity), rerun this block with a larger capacity.
     The reference selects ALL pixels with q < pt (diff_mustache.py:458,473),
-    so truncation would silently drop loops."""
+    so truncation would silently drop loops. ``densify``: zero-arg callable
+    producing the dense (cc1, cc2) pair (lazy — the band fast path never
+    materializes host blocks in the common case)."""
     sig = max(int(block_out["sig_count1"]), int(block_out["sig_count2"]))
     if sig <= cfg.max_candidates:
         return block_out
     cap = 1 << (sig - 1).bit_length()
     det = build_diff_detector(cfg, width, max_candidates=cap)
-    return jax.tree.map(np.asarray, det.fn_single(cc1, cc2))
+    return jax.tree.map(np.asarray, det.fn_single(*densify()))
 
 
 def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
@@ -392,26 +412,45 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     det = build_diff_detector(cfg, width)
     dtype = np.float64 if cfg.precision == "float64" else np.float32
 
+    bands_dev = None
+    if runner is None:
+        # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
+        from mustache_tpu.detect import band_width
+        Dl = band_width(width, d_px)
+        rows = max(n, width)
+
+        def to_band(x, y, v):
+            band = np.zeros((rows, Dl), dtype=dtype)
+            sel = (y - x) < Dl
+            band[x[sel], (y - x)[sel]] = v[sel]
+            return jax.device_put(band)
+
+        bands_dev = (to_band(x1, y1, v1), to_band(x2, y2, v2))
+
     def launch(idxs):
+        if bands_dev is not None:
+            starts = np.asarray(
+                [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
+            return idxs, det.fn_band(bands_dev[0], bands_dev[1], starts)
         b1 = np.zeros((B, width, width), dtype=dtype)
         b2 = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
             b1[bi] = densify_block(x1, y1, v1, start[i], end[i], width, dtype)
             b2[bi] = densify_block(x2, y2, v2, start[i], end[i], width, dtype)
-        if runner is None:
-            out = det.fn(jax.device_put(b1), jax.device_put(b2))
-        else:
-            out = runner(det, (b1, b2))
-        return idxs, b1, b2, out
+        return idxs, runner(det, (b1, b2))
 
     results = []
 
-    def finish(idxs, b1, b2, out):
+    def finish(idxs, out):
         out = jax.tree.map(np.asarray, out)
         for bi, i in enumerate(idxs):
             block_out = jax.tree.map(lambda a: a[bi], out)
-            block_out = _maybe_regrow_diff(block_out, b1[bi], b2[bi], cfg,
-                                           width)
+            block_out = _maybe_regrow_diff(
+                block_out, cfg, width,
+                lambda i=i: (densify_block(x1, y1, v1, start[i], end[i],
+                                           width, dtype),
+                             densify_block(x2, y2, v2, start[i], end[i],
+                                           width, dtype)))
             groups = finish_diff_block(block_out, start=start[i], cfg=cfg,
                                        spec=det.spec)
             mask = masks[i]

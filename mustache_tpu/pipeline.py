@@ -18,7 +18,7 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from mustache_tpu.config import DetectionConfig, chunk_grid, block_mask_sizes
-from mustache_tpu.detect import build_detector, finish_block
+from mustache_tpu.detect import band_width, build_detector, finish_block
 from mustache_tpu.normalize import normalize_sparse
 
 
@@ -120,23 +120,41 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # the f64 golden path keeps full-precision blocks on device
     dtype = np.float64 if cfg.precision == "float64" else np.float32
 
+    band_dev = None
+    if runner is None:
+        # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
+        # bytes than the dense blocks, the dominant cost on PCIe/tunneled
+        # links); each block is sliced + densified on device (fn_band).
+        # Entries beyond Dl >= d_px+4 cannot exist after the ingest
+        # distance filters (<= d_px+1); the public-API corner where they
+        # do would land in the sentinel wedge either way.
+        Dl = band_width(width, d_px)
+        rows = max(n, width)
+        band = np.zeros((rows, Dl), dtype=dtype)
+        sel = (y - x) < Dl
+        band[x[sel], (y - x)[sel]] = v[sel]
+        band_dev = jax.device_put(band)
+
     def launch(idxs):
+        if band_dev is not None:
+            starts = np.asarray(
+                [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
+            return idxs, detector.fn_band(band_dev, starts)
         blocks = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
             blocks[bi] = densify_block(x, y, v, start[i], end[i], width, dtype)
-        if runner is None:
-            out = detector(jax.device_put(blocks))   # async H2D + dispatch
-        else:
-            out = runner(detector, blocks)
-        return idxs, blocks, out
+        return idxs, runner(detector, blocks)
 
     loops: list[Loop] = []
 
-    def finish(idxs, blocks, out):
+    def finish(idxs, out):
         out = jax.tree.map(np.asarray, out)
         for bi, i in enumerate(idxs):
             block_out = jax.tree.map(lambda a: a[bi], out)
-            block_out = _maybe_regrow(block_out, blocks[bi], cfg, width)
+            block_out = _maybe_regrow(
+                block_out, cfg, width,
+                lambda i=i: densify_block(x, y, v, start[i], end[i], width,
+                                          dtype))
             rows = finish_block(
                 block_out, block_index=i, start=start[i], cfg=cfg,
                 spec=detector.spec,
@@ -160,10 +178,12 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     return loops
 
 
-def _maybe_regrow(block_out: dict, block: np.ndarray, cfg: DetectionConfig,
-                  width: int) -> dict:
+def _maybe_regrow(block_out: dict, cfg: DetectionConfig, width: int,
+                  densify) -> dict:
     """If the candidate table overflowed (more pixels below the q threshold
-    than capacity), rerun this single block with a larger capacity."""
+    than capacity), rerun this single block with a larger capacity.
+    ``densify``: zero-arg callable producing the dense block (lazy — the
+    band fast path never materializes host blocks in the common case)."""
     import jax
 
     sig = int(block_out["sig_count"])
@@ -171,7 +191,7 @@ def _maybe_regrow(block_out: dict, block: np.ndarray, cfg: DetectionConfig,
         return block_out
     cap = 1 << (sig - 1).bit_length()
     det = build_detector(cfg, width, max_candidates=cap)
-    return jax.tree.map(np.asarray, det.fn_single(block))
+    return jax.tree.map(np.asarray, det.fn_single(densify()))
 
 
 def write_loops(path: str, per_chrom: Iterable[tuple[str, str, int, Sequence[Loop]]]):

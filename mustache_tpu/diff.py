@@ -392,40 +392,47 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
 
     d_px = cfg.distance_px
     n = int(max(x1.max(), y1.max(), x2.max(), y2.max())) + 1
-    if normalize:
-        work = (np.float64 if (exact_normalize or cfg.precision == "float64")
-                else np.float32)
-        normalize_sparse(x1, y1, v1, cfg.resolution, d_px,
-                         exact=exact_normalize, work_dtype=work)
-        normalize_sparse(x2, y2, v2, cfg.resolution, d_px,
-                         exact=exact_normalize, work_dtype=work)
-
     chunk = cfg.chunk_size
+    # always chunk x chunk, zero-padded (diff_mustache.py:671)
+    width = chunk
+    dtype = np.float64 if cfg.precision == "float64" else np.float32
+
+    bands = None
+    if runner is None:
+        # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
+        from mustache_tpu.detect import band_width
+        shape = (max(n, width), band_width(width, d_px))
+        bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
+
+    def prep(x, y, v, band):
+        if normalize:
+            work = (np.float64
+                    if (exact_normalize or cfg.precision == "float64")
+                    else np.float32)
+            fuse = band if band is not None and dtype == np.float32 else None
+            normalize_sparse(x, y, v, cfg.resolution, d_px,
+                             exact=exact_normalize, work_dtype=work,
+                             band_out=fuse)
+            if band is None or fuse is not None:
+                return
+        if band is not None:
+            sel = (y - x) < band.shape[1]
+            band[x[sel], (y - x)[sel]] = v[sel]
+
+    prep(x1, y1, v1, bands[0] if bands else None)
+    prep(x2, y2, v2, bands[1] if bands else None)
+
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)
     nblocks = len(start)
-    # always chunk x chunk, zero-padded (diff_mustache.py:671)
-    width = chunk
 
     backend = jax.default_backend()
     B = _auto_batch_diff(width, cfg, backend, nblocks)
     det = build_diff_detector(cfg, width)
-    dtype = np.float64 if cfg.precision == "float64" else np.float32
 
     bands_dev = None
-    if runner is None:
-        # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
-        from mustache_tpu.detect import band_width
-        Dl = band_width(width, d_px)
-        rows = max(n, width)
-
-        def to_band(x, y, v):
-            band = np.zeros((rows, Dl), dtype=dtype)
-            sel = (y - x) < Dl
-            band[x[sel], (y - x)[sel]] = v[sel]
-            return jax.device_put(band)
-
-        bands_dev = (to_band(x1, y1, v1), to_band(x2, y2, v2))
+    if bands is not None:
+        bands_dev = (jax.device_put(bands[0]), jax.device_put(bands[1]))
 
     def launch(idxs):
         if bands_dev is not None:

@@ -48,6 +48,20 @@ def _load():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.mtpu_normalize_coo.restype = ctypes.c_int
+    lib.mtpu_normalize_coo.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
     lib.mtpu_normalize_band.restype = ctypes.c_int
     lib.mtpu_normalize_band.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -96,6 +110,33 @@ def decode_hic_blocks(path: str, positions: np.ndarray, sizes: np.ndarray,
             continue
         raise IOError(f"native .hic decode failed (rc={rc}) for {path}")
     raise IOError(f"native .hic decode: capacity retry exhausted for {path}")
+
+
+def normalize_coo(x, y, v, n_bins, Dv, F, band_out=None, n_threads=8):
+    """One-call local-regime normalize: mutates ``v`` (float64, C-contiguous)
+    in place, optionally fills a zeroed f32 band buffer
+    ``band_out[x, y-x] = z``, and returns the per-diagonal weights — or
+    None when the native library is unavailable. Entries with
+    ``y-x >= Dv`` are left untouched (and not written to the band)."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert v.dtype == np.float64 and v.flags.c_contiguous
+    weights = np.empty(Dv, np.float64)
+    if band_out is None:
+        bptr, ldb = None, 0
+    else:
+        assert band_out.dtype == np.float32 and band_out.flags.c_contiguous
+        bptr = band_out.ctypes.data_as(ctypes.c_void_p)
+        ldb = band_out.shape[1]
+    rc = lib.mtpu_normalize_coo(
+        np.ascontiguousarray(x, np.int64),
+        np.ascontiguousarray(y, np.int64),
+        v, len(v), int(n_bins), int(Dv), int(F), weights, bptr, ldb,
+        int(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"native normalize_coo failed (rc={rc})")
+    return weights
 
 
 def normalize_band(xs_sorted, vs_sorted, row_off, n_bins, Dv, F, g_mean,

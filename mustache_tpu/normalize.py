@@ -87,7 +87,8 @@ def _grouped_mean_std(d: np.ndarray, v: np.ndarray, D: int):
 
 
 def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
-                     exact: bool = False, work_dtype=np.float64):
+                     exact: bool = False, work_dtype=np.float64,
+                     band_out=None):
     """Normalize COO values ``v`` in place; returns per-diagonal p-weights.
 
     Mirrors the reference contract: ``v`` is mutated, and the returned
@@ -98,12 +99,23 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
     ``work_dtype=np.float32`` halves the band-matrix elementwise cost for
     the f32 detection path (moving-window sums are still accumulated in
     float64 — differencing long float32 cumsums would be catastrophic).
+
+    ``band_out``: optional zeroed f32 ``[rows, Dl]`` buffer; when given,
+    the normalized value of every entry is also scattered to
+    ``band_out[x, y-x]`` (the device transfer layout) in the same pass —
+    only entries with ``y-x < band_out.shape[1]`` are written.
     """
     x = np.asarray(x)
     y = np.asarray(y)
     n = int(max(x.max(), y.max())) + 1
     dists = np.abs(y - x).astype(np.int64)
     pval_weights: list[float] = []
+
+    def fill_band(lo_d=0):
+        if band_out is None:
+            return
+        sel = (dists >= lo_d) & (dists < band_out.shape[1])
+        band_out[x[sel], dists[sel]] = v[sel]
 
     if (n - distance_in_px) * resolution > 2_000_000:
         with warnings.catch_warnings():
@@ -112,31 +124,27 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
             D = 2 + distance_in_px
             if n <= 0:
                 return pval_weights
+
             Dv = min(D, n)  # diagonals beyond n are empty rows of size 0
 
-            g_mean, g_std = _grouped_mean_std(dists, v, D)
-
             if not exact:
-                # fast path: threaded C++ core when the native library is
-                # available (the [D, n] band passes are host-memory bound)
+                # fast path: one call into the threaded C++ core (grouping,
+                # global stats, windowed z, write-back, and the band fill
+                # all native — the numpy glue dominated at 1kb scale)
                 try:
                     from mustache_tpu.io import native
                 except ImportError:
                     native = None
                 if native is not None and native.available():
-                    weights = 1.0 + np.log1p(g_mean[:Dv]) / math.log(30)
-                    sel = dists < Dv
-                    sel_idx = np.nonzero(sel)[0]
-                    perm = np.argsort(dists[sel_idx], kind="stable")
-                    ent = sel_idx[perm]
-                    row_off = np.searchsorted(
-                        dists[ent], np.arange(Dv + 1), side="left")
-                    z = native.normalize_band(
-                        x[ent], v[ent], row_off, n, Dv, F,
-                        g_mean[:Dv], g_std[:Dv], weights)
-                    if z is not None:
-                        v[ent] = z
+                    vv = np.ascontiguousarray(v, np.float64)
+                    weights = native.normalize_coo(
+                        x, y, vv, n, Dv, F, band_out=band_out)
+                    if weights is not None:
+                        v[:] = vv
+                        fill_band(lo_d=Dv)  # rare d in [Dv, Dl) raw entries
                         return [float(w) for w in weights]
+
+            g_mean, g_std = _grouped_mean_std(dists, v, D)
 
             # Band layout: row d holds the dense diagonal-d vector (+0.001 at
             # occupied bins, reference :635). Duplicate (x,d) entries:
@@ -188,6 +196,7 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
             # Entries on diagonals >= Dv (only possible when n < D) keep
             # their raw values, as in the reference (loop range is capped by
             # vals.size == 0 `continue`).
+            fill_band()
     else:
         with np.errstate(invalid="ignore", divide="ignore"):
             np.nan_to_num(v, copy=False, neginf=0, posinf=0, nan=0)
@@ -197,4 +206,5 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
             z = (v[sel] - g_mean[dists[sel]]) / g_std[dists[sel]]
             z[~np.isfinite(z)] = 0.0
             v[sel] = z
+        fill_band()
     return pval_weights

@@ -97,30 +97,17 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
 
     d_px = cfg.distance_px
     n = int(max(x.max(), y.max())) + 1
-    if normalize:
-        work = (np.float64 if (exact_normalize or cfg.precision == "float64")
-                else np.float32)
-        normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize,
-                         work_dtype=work)
-
     chunk = cfg.chunk_size
-    start, end = chunk_grid(n, chunk, d_px)
-    masks = block_mask_sizes(start, end, d_px)
-    nblocks = len(start)
     # blocks are ALWAYS chunk x chunk: when n <= chunk the reference still
     # densifies into a CHUNK_SIZE x CHUNK_SIZE zero-padded matrix
     # (mustache.py:923), and the zero pad region participates in the blurs
     # and sentinel wedges, shaping the per-plane statistics
     width = chunk
-
-    backend = jax.default_backend()
-    B = _auto_batch(width, cfg, backend, nblocks)
-    detector = build_detector(cfg, width)
     # transfer in compute precision (halves H2D for the f32 fast path);
     # the f64 golden path keeps full-precision blocks on device
     dtype = np.float64 if cfg.precision == "float64" else np.float32
 
-    band_dev = None
+    band = None
     if runner is None:
         # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
         # bytes than the dense blocks, the dominant cost on PCIe/tunneled
@@ -128,12 +115,31 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         # Entries beyond Dl >= d_px+4 cannot exist after the ingest
         # distance filters (<= d_px+1); the public-API corner where they
         # do would land in the sentinel wedge either way.
-        Dl = band_width(width, d_px)
-        rows = max(n, width)
-        band = np.zeros((rows, Dl), dtype=dtype)
-        sel = (y - x) < Dl
+        band = np.zeros((max(n, width), band_width(width, d_px)), dtype=dtype)
+
+    if normalize:
+        work = (np.float64 if (exact_normalize or cfg.precision == "float64")
+                else np.float32)
+        # the f32 band is filled inside the (native) normalize pass
+        fuse = band if band is not None and dtype == np.float32 else None
+        normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize,
+                         work_dtype=work, band_out=fuse)
+        if band is not None and fuse is None:
+            sel = (y - x) < band.shape[1]
+            band[x[sel], (y - x)[sel]] = v[sel]
+    elif band is not None:
+        sel = (y - x) < band.shape[1]
         band[x[sel], (y - x)[sel]] = v[sel]
-        band_dev = jax.device_put(band)
+
+    start, end = chunk_grid(n, chunk, d_px)
+    masks = block_mask_sizes(start, end, d_px)
+    nblocks = len(start)
+
+    backend = jax.default_backend()
+    B = _auto_batch(width, cfg, backend, nblocks)
+    detector = build_detector(cfg, width)
+
+    band_dev = jax.device_put(band) if band is not None else None
 
     def launch(idxs):
         if band_dev is not None:

@@ -70,7 +70,8 @@ def _measure(tag, x, y, v, cfg, mb, warm_runs):
     from mustache_tpu.pipeline import detect_loops_coo
 
     def run():
-        return detect_loops_coo(x.copy(), y.copy(), v.copy(), cfg)
+        # x/y are never mutated by the pipeline; v is (normalize in place)
+        return detect_loops_coo(x, y, v.copy(), cfg)
 
     t0 = time.time()
     loops = run()                           # includes compile
@@ -113,6 +114,53 @@ def _measure_baseline(tag, x, y, v, cfg, mb, d_px):
     return mb / elapsed
 
 
+def _measure_diff(x1, y1, v1, x2, y2, v2, cfg, mb, warm_runs):
+    import jax
+    from mustache_tpu.diff import detect_diff_loops_coo
+
+    def run():
+        return detect_diff_loops_coo(x1, y1, v1.copy(),
+                                     x2, y2, v2.copy(), cfg)
+
+    t0 = time.time()
+    rows = run()
+    cold = time.time() - t0
+    warms = []
+    for _ in range(warm_runs):
+        t0 = time.time()
+        rows = run()
+        warms.append(time.time() - t0)
+    print(f"# diff 5kb: {len(rows)} rows; cold {cold:.1f}s "
+          f"warm {'/'.join(f'{w:.2f}' for w in warms)}s "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    # both conditions are ingested+normalized+scanned: count the Mb twice
+    return 2 * mb / min(warms)
+
+
+def _measure_diff_baseline(x1, y1, v1, x2, y2, v2, cfg, mb, d_px):
+    from oracle import diff_detect_block_oracle, normalize_sparse_oracle
+    from mustache_tpu.config import chunk_grid
+    from mustache_tpu.pipeline import densify_block
+
+    t0 = time.time()
+    vv1, vv2 = v1.copy(), v2.copy()
+    normalize_sparse_oracle(x1, y1, vv1, cfg.resolution, d_px)
+    normalize_sparse_oracle(x2, y2, vv2, cfg.resolution, d_px)
+    n = int(max(x1.max(), y1.max(), x2.max(), y2.max())) + 1
+    start, end = chunk_grid(n, cfg.chunk_size, d_px)
+    total = 0
+    for i in range(len(start)):
+        cc1 = densify_block(x1, y1, vv1, start[i], end[i], cfg.chunk_size)
+        cc2 = densify_block(x2, y2, vv2, start[i], end[i], cfg.chunk_size)
+        out = diff_detect_block_oracle(cc1, cc2, [1.6, 3.2], d_px, cfg.st,
+                                       cfg.pt, cfg.pt2, start=start[i])
+        total += sum(len(g) for g in out)
+    elapsed = time.time() - t0
+    print(f"# baseline(scipy oracle, 1 proc) diff 5kb: {total} rows "
+          f"in {elapsed:.1f}s", file=sys.stderr)
+    return 2 * mb / elapsed
+
+
 def main():
     _setup_jax_cache()
     from mustache_tpu.config import DetectionConfig
@@ -120,6 +168,27 @@ def main():
     base = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
         else {}
     updated = False
+
+    # ---- differential two-condition 5kb (config-5 shape) -----------------
+    from synthetic import synthetic_hic
+    cfg_diff = DetectionConfig(resolution=5000, distance_bp=2_000_000,
+                               pt=0.1, st=0.8, pt2=0.1, precision="float32")
+    x1, y1, v1, _ = synthetic_hic(CHR21_BINS, D_PX, seed=2021, n_loops=300,
+                                  loop_strength=3.0)
+    x2, y2, v2, _ = synthetic_hic(CHR21_BINS, D_PX, seed=2022, n_loops=300,
+                                  loop_strength=3.0)
+    value_diff = _measure_diff(x1, y1, v1, x2, y2, v2, cfg_diff,
+                               CHR21_MB, warm_runs=2)
+    if "mb_per_s_diff" not in base:
+        base["mb_per_s_diff"] = _measure_diff_baseline(
+            x1, y1, v1, x2, y2, v2, cfg_diff, CHR21_MB, D_PX)
+        updated = True
+    print(json.dumps({
+        "metric": "diff_5kb_Mb_per_s",
+        "value": round(value_diff, 3),
+        "unit": "Mb/s",
+        "vs_baseline": round(value_diff / base["mb_per_s_diff"], 2),
+    }))
 
     # ---- 1kb Micro-C-shaped slice (secondary metric, printed first) ------
     cfg_1kb = DetectionConfig(resolution=1000, distance_bp=2_000_000,

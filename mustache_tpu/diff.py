@@ -391,7 +391,9 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     v1 = np.asarray(v1, np.float64); v2 = np.asarray(v2, np.float64)
 
     d_px = cfg.distance_px
-    n = int(max(x1.max(), y1.max(), x2.max(), y2.max())) + 1
+    n1 = int(max(x1.max(), y1.max())) + 1
+    n2 = int(max(x2.max(), y2.max())) + 1
+    n = max(n1, n2)
     chunk = cfg.chunk_size
     # always chunk x chunk, zero-padded (diff_mustache.py:671)
     width = chunk
@@ -404,23 +406,25 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         shape = (max(n, width), band_width(width, d_px))
         bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
 
-    def prep(x, y, v, band):
+    def prep(x, y, v, band, n_own):
         if normalize:
             work = (np.float64
                     if (exact_normalize or cfg.precision == "float64")
                     else np.float32)
             fuse = band if band is not None and dtype == np.float32 else None
+            # each condition normalizes with its OWN bin count (the window
+            # clipping at diagonal tails depends on it, diff_mustache.py:634)
             normalize_sparse(x, y, v, cfg.resolution, d_px,
                              exact=exact_normalize, work_dtype=work,
-                             band_out=fuse)
+                             band_out=fuse, n=n_own)
             if band is None or fuse is not None:
                 return
         if band is not None:
             sel = (y - x) < band.shape[1]
             band[x[sel], (y - x)[sel]] = v[sel]
 
-    prep(x1, y1, v1, bands[0] if bands else None)
-    prep(x2, y2, v2, bands[1] if bands else None)
+    prep(x1, y1, v1, bands[0] if bands else None, n1)
+    prep(x2, y2, v2, bands[1] if bands else None, n2)
 
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)

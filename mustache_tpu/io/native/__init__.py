@@ -60,6 +60,7 @@ def _load():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_void_p,
         ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32,
     ]
     lib.mtpu_normalize_band.restype = ctypes.c_int
@@ -115,9 +116,10 @@ def decode_hic_blocks(path: str, positions: np.ndarray, sizes: np.ndarray,
 def normalize_coo(x, y, v, n_bins, Dv, F, band_out=None, n_threads=8):
     """One-call local-regime normalize: mutates ``v`` (float64, C-contiguous)
     in place, optionally fills a zeroed f32 band buffer
-    ``band_out[x, y-x] = z``, and returns the per-diagonal weights — or
-    None when the native library is unavailable. Entries with
-    ``y-x >= Dv`` are left untouched (and not written to the band)."""
+    ``band_out[x, y-x] = z``, and returns ``(weights, n_skipped)`` — or
+    None when the native library is unavailable. ``n_skipped`` counts
+    entries with ``y-x >= Dv``, which are left untouched (and not written
+    to the band)."""
     lib = _load()
     if lib is None:
         return None
@@ -129,14 +131,15 @@ def normalize_coo(x, y, v, n_bins, Dv, F, band_out=None, n_threads=8):
         assert band_out.dtype == np.float32 and band_out.flags.c_contiguous
         bptr = band_out.ctypes.data_as(ctypes.c_void_p)
         ldb = band_out.shape[1]
+    skipped = ctypes.c_int64(0)
     rc = lib.mtpu_normalize_coo(
         np.ascontiguousarray(x, np.int64),
         np.ascontiguousarray(y, np.int64),
         v, len(v), int(n_bins), int(Dv), int(F), weights, bptr, ldb,
-        int(n_threads))
+        ctypes.byref(skipped), int(n_threads))
     if rc != 0:
         raise RuntimeError(f"native normalize_coo failed (rc={rc})")
-    return weights
+    return weights, skipped.value
 
 
 def normalize_band(xs_sorted, vs_sorted, row_off, n_bins, Dv, F, g_mean,

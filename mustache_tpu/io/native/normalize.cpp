@@ -161,7 +161,7 @@ extern "C" {
 int mtpu_normalize_coo(const int64_t* xs, const int64_t* ys, double* v,
                        int64_t n_entries, int64_t n_bins, int32_t Dv,
                        int32_t F, double* weights_out, float* band_out,
-                       int64_t ldb, int32_t n_threads) {
+                       int64_t ldb, int64_t* n_skipped, int32_t n_threads) {
   if (Dv <= 0 || n_entries < 0) return -1;
   std::vector<int64_t> ds(n_entries);
   std::vector<int64_t> cnt(Dv, 0);
@@ -202,6 +202,7 @@ int mtpu_normalize_coo(const int64_t* xs, const int64_t* ys, double* v,
   // preserving the last-write-wins duplicate semantics)
   std::vector<int64_t> row_off(Dv + 1, 0);
   for (int32_t d = 0; d < Dv; ++d) row_off[d + 1] = row_off[d] + cnt[d];
+  if (n_skipped) *n_skipped = n_entries - row_off[Dv];
   std::vector<int64_t> order(row_off[Dv]);
   {
     std::vector<int64_t> pos(row_off.begin(), row_off.end() - 1);

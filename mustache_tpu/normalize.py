@@ -88,7 +88,7 @@ def _grouped_mean_std(d: np.ndarray, v: np.ndarray, D: int):
 
 def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
                      exact: bool = False, work_dtype=np.float64,
-                     band_out=None):
+                     band_out=None, n: int | None = None):
     """Normalize COO values ``v`` in place; returns per-diagonal p-weights.
 
     Mirrors the reference contract: ``v`` is mutated, and the returned
@@ -104,18 +104,23 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
     the normalized value of every entry is also scattered to
     ``band_out[x, y-x]`` (the device transfer layout) in the same pass —
     only entries with ``y-x < band_out.shape[1]`` are written.
+
+    ``n``: bin count if the caller already knows it (saves two 18M-entry
+    reductions at 1kb scale; this host throttles hard on memory passes).
     """
     x = np.asarray(x)
     y = np.asarray(y)
-    n = int(max(x.max(), y.max())) + 1
-    dists = np.abs(y - x).astype(np.int64)
+    if n is None:
+        n = int(max(x.max(), y.max())) + 1
+    dists = None  # computed lazily: the native path never needs it
     pval_weights: list[float] = []
 
     def fill_band(lo_d=0):
         if band_out is None:
             return
-        sel = (dists >= lo_d) & (dists < band_out.shape[1])
-        band_out[x[sel], dists[sel]] = v[sel]
+        d = np.abs(y - x) if dists is None else dists
+        sel = (d >= lo_d) & (d < band_out.shape[1])
+        band_out[x[sel], d[sel]] = v[sel]
 
     if (n - distance_in_px) * resolution > 2_000_000:
         with warnings.catch_warnings():
@@ -137,13 +142,19 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
                     native = None
                 if native is not None and native.available():
                     vv = np.ascontiguousarray(v, np.float64)
-                    weights = native.normalize_coo(
+                    res = native.normalize_coo(
                         x, y, vv, n, Dv, F, band_out=band_out)
-                    if weights is not None:
-                        v[:] = vv
-                        fill_band(lo_d=Dv)  # rare d in [Dv, Dl) raw entries
+                    if res is not None:
+                        weights, n_skipped = res
+                        if vv is not v:
+                            v[:] = vv
+                        if n_skipped:
+                            # rare d in [Dv, Dl) raw entries (possible only
+                            # for API callers bypassing the ingest filters)
+                            fill_band(lo_d=Dv)
                         return [float(w) for w in weights]
 
+            dists = np.abs(y - x).astype(np.int64)
             g_mean, g_std = _grouped_mean_std(dists, v, D)
 
             # Band layout: row d holds the dense diagonal-d vector (+0.001 at
@@ -201,6 +212,7 @@ def normalize_sparse(x, y, v, resolution: int, distance_in_px: int, *,
         with np.errstate(invalid="ignore", divide="ignore"):
             np.nan_to_num(v, copy=False, neginf=0, posinf=0, nan=0)
             dpx = min(distance_in_px, n)
+            dists = np.abs(y - x).astype(np.int64)
             g_mean, g_std = _grouped_mean_std(dists, v, max(dpx, 1))
             sel = dists < dpx
             z = (v[sel] - g_mean[dists[sel]]) / g_std[dists[sel]]

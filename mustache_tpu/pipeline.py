@@ -123,7 +123,7 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         # the f32 band is filled inside the (native) normalize pass
         fuse = band if band is not None and dtype == np.float32 else None
         normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize,
-                         work_dtype=work, band_out=fuse)
+                         work_dtype=work, band_out=fuse, n=n)
         if band is not None and fuse is None:
             sel = (y - x) < band.shape[1]
             band[x[sel], (y - x)[sel]] = v[sel]

@@ -41,7 +41,7 @@ def test_pallas_matches_xla_path(n, d_px):
     ref = jax.tree.map(np.asarray, det.fn_single(c))
 
     # pallas-path detector (interpret mode so it runs on CPU)
-    spec, fn, fn_single = _build_detector_cached(
+    spec, fn, fn_single, _fn_band = _build_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
         cfg.max_candidates, True, True)
     st = np.float32(cfg.st)

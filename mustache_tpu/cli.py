@@ -296,12 +296,17 @@ def main(argv=None):
                   chromosomes=[str(c) for c, _ in pairs])
 
     for i, (chromosome, chromosome2) in enumerate(pairs):
-        if chromosome != chromosome2:
-            print("Interchromosomal analysis is not supported "
-                  "(non-functional in the reference as well).")
+        inter = chromosome != chromosome2
+        if inter and not (f.endswith(".hic") or f.endswith(".cool")
+                          or f.endswith(".mcool")):
+            # reference gate (mustache.py:869-871)
+            print("Interchromosomal analysis is only supported for .hic "
+                  "and .cool input formats.")
             return 1
+        unit_name = str(chromosome) if not inter else \
+            f"{chromosome}__x__{chromosome2}"
         if manifest and args.resume and \
-                str(chromosome) in manifest.completed_chromosomes():
+                unit_name in manifest.completed_chromosomes():
             continue
         chrm_size = False
         if chrSize_in_bp:
@@ -319,7 +324,18 @@ def main(argv=None):
         )
         with log.phase("detect", chromosome=str(chromosome),
                        contacts=len(v)):
-            loops = detect_loops_coo(x, y, v, cfg) if len(v) else []
+            if not len(v):
+                loops = []
+            elif inter:
+                # beyond-reference: working inter-chromosomal detection
+                # (the reference's path crashes, mustache.py:689-694)
+                from mustache_tpu.inter import detect_inter_loops_coo
+                from mustache_tpu.pipeline import Loop
+                rows_i = detect_inter_loops_coo(x, y, v, cfg)
+                loops = [Loop(int(r[0]), int(r[1]), float(r[2]),
+                              float(r[3])) for r in rows_i]
+            else:
+                loops = detect_loops_coo(x, y, v, cfg)
 
         rows = "".join(lp.to_row(chromosome, chromosome2, res_eff)
                        for lp in loops)
@@ -327,20 +343,22 @@ def main(argv=None):
         print("{0} loops found for chrmosome={1}, fdr<{2} in {3}sec".format(
             len(loops), chromosome, args.pt, "%.2f" % elapsed))
         if manifest:
-            manifest.mark_complete(str(chromosome), len(loops), elapsed, rows)
+            manifest.mark_complete(unit_name, len(loops), elapsed, rows)
         elif rows:
             with open(args.outdir, "a") as out:
                 out.write(rows)
         start_time = time.time()
 
+    unit_order = [str(c) if c == c2 else f"{c}__x__{c2}"
+                  for c, c2 in zip(chr_list, chr_list2)]
     if nprocs > 1:
         # all parts on disk before process 0 concatenates them
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("mustache-tpu-parts-complete")
         if procid == 0:
-            manifest.assemble([str(c) for c in chr_list], header)
+            manifest.assemble(unit_order, header)
     elif manifest:
-        manifest.assemble([str(c) for c in chr_list], header)
+        manifest.assemble(unit_order, header)
 
     if args.profile_dir:
         import jax

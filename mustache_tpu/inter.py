@@ -1,0 +1,381 @@
+"""Inter-chromosomal loop detection (beyond the reference).
+
+The reference ADVERTISES inter-chromosomal analysis (`-ch2`,
+mustache.py:163-170) but its path is non-functional: `inter_normalize_map`
+references an undefined variable (mustache.py:689-694) and `regulator`'s
+inter branch calls it with the wrong arity and then falls off the end
+(mustache.py:939-942). This module implements the evident intent with
+well-defined semantics:
+
+* **Normalization** (the reference's intended global z-score,
+  mustache.py:689-694): ``z = (v - mean(v)) / std(v)`` over the map's
+  nonzero entries; non-finite results drop to 0.
+* **Detection**: the same scale-space DoG machinery as the intra core
+  (ladder, 3x3 space/scale NMS, per-plane exponential tail p-values,
+  BH FDR, q < pt selection, sparsity filter) evaluated on the full
+  rectangle — no diagonal band, no sentinel wedges, and no enrichment
+  filter (it compares against the candidate's *diagonal* mean,
+  mustache.py:816-828, which has no analogue off the diagonal).
+* **Blocking**: a 2-D grid of CHUNK x CHUNK tiles with a 128-bin overlap;
+  a tile owns the candidates in its non-overlap interior on both axes, so
+  each candidate is reported exactly once. Statistics (exponential fits,
+  BH) are per tile, exactly as the reference's intra blocks are per-block
+  statistical units.
+
+Everything device-side is one jitted vmapped function per tile shape,
+sharing the scan/statistics helpers with ``mustache_tpu.detect``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mustache_tpu.config import DetectionConfig
+from mustache_tpu.detect import (_blur_ladder, _max3x3, _bh_lookup,
+                                 _logq_from_sorted, _cluster_components)
+from mustache_tpu.scalespace import LadderSpec, build_ladder
+
+OVERLAP = 128  # covers the ladder radius (13), NMS (1), clustering (3)
+
+
+def normalize_inter(v: np.ndarray) -> np.ndarray:
+    """Global z-score over the map's entries (mustache.py:689-694 intent);
+    mutates and returns ``v``. Non-finite inputs are zeroed first (the
+    reference's nan_to_num), and a zero spread leaves the map at 0."""
+    np.nan_to_num(v, copy=False, nan=0.0, posinf=0.0, neginf=0.0)
+    m = float(np.mean(v)) if len(v) else 0.0
+    s = float(np.std(v)) if len(v) else 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (v - m) / s
+    z[~np.isfinite(z)] = 0.0
+    v[:] = z
+    return v
+
+
+def _rect_box_counts(ii, x, y, s, N1, N2):
+    """Window sums over [x-s, x+s+1) x [y-s, y+s+1) with numpy slice
+    semantics (negative start => empty, overruns clamp)."""
+    x0, x1 = x - s, x + s + 1
+    y0, y1 = y - s, y + s + 1
+    empty = (x0 < 0) | (y0 < 0)
+    x0c = jnp.clip(x0, 0, N1)
+    x1c = jnp.clip(x1, 0, N1)
+    y0c = jnp.clip(y0, 0, N2)
+    y1c = jnp.clip(y1, 0, N2)
+    cnt = ii[x1c, y1c] - ii[x0c, y1c] - ii[x1c, y0c] + ii[x0c, y0c]
+    return jnp.where(empty, 0, cnt)
+
+
+def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
+                      n_octaves, K):
+    dtype = c.dtype
+    st = st.astype(dtype)
+    log_pt = log_pt.astype(dtype)
+    N1, N2 = c.shape
+    pinf = dtype.type(np.inf)
+
+    nz = c != 0
+    nz_count = jnp.sum(nz, dtype=jnp.int32)
+    nzf = nz.astype(dtype)
+    inv_count = 1.0 / jnp.maximum(nz_count, 1).astype(dtype)
+
+    G = _blur_ladder(c, kernels)                  # [S, N1, N2]
+
+    best_v = jnp.zeros_like(c)
+    best_logp = jnp.full_like(c, pinf)
+    best_sigidx = jnp.full(c.shape, -1, jnp.int32)
+
+    def step(carry, xs):
+        Lp, Lc, mP, mC, best_v, best_logp, best_sigidx = carry
+        Ln, plane = xs
+        mN = _max3x3(Ln)
+        abs_lc = jnp.abs(Lc)
+        loc = jnp.min(jnp.where(nz, abs_lc, pinf))
+        mean = jnp.sum(abs_lc * nzf) * inv_count
+        scale = mean - loc
+        logp = -(abs_lc - loc) / scale
+
+        will = (
+            nz
+            & (Lc > best_v)
+            & (Lc == mC)
+            & ((Lp == mP) | (Ln == mN))
+            & (Lc > mP)
+            & (Lc > mN)
+        )
+        best_v = jnp.where(will, Lc, best_v)
+        best_logp = jnp.where(will, logp, best_logp)
+        best_sigidx = jnp.where(will, plane, best_sigidx)
+        return (Lc, Ln, mC, mN, best_v, best_logp, best_sigidx), None
+
+    for o in range(n_octaves):
+        Go = G[o * 12:(o + 1) * 12]
+        L = Go[:-1] - Go[1:]
+        planes = np.arange(o * planes_per_octave,
+                           (o + 1) * planes_per_octave, dtype=np.int32)
+        carry = (L[0], L[1], _max3x3(L[0]), _max3x3(L[1]),
+                 best_v, best_logp, best_sigidx)
+        carry, _ = lax.scan(step, carry, (L[2:], planes))
+        best_v, best_logp, best_sigidx = carry[4:]
+
+    # BH + selection: one stable key+index sort (see detect._band_candidates)
+    found = nz & (best_logp < pinf)
+    n_tested = jnp.sum(found, dtype=jnp.int32)
+    keys = jnp.where(found, best_logp, pinf)
+    kf = keys.reshape(-1)
+    sp, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])), num_keys=1)
+    qs = _logq_from_sorted(sp, n_tested)
+    sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
+    cand_logq = qs[:K]
+    flat_idx = sidx[:K]
+    cand_valid = cand_logq < log_pt
+    cx = (flat_idx // N2).astype(jnp.int32)
+    cy = (flat_idx % N2).astype(jnp.int32)
+
+    best_sigidx = jnp.where(nz, best_sigidx, -1)
+    cand_sigidx = best_sigidx.reshape(-1)[flat_idx]
+
+    ii = jnp.pad(
+        jnp.cumsum(jnp.cumsum(nz.astype(jnp.int32), 0), 1), ((1, 0), (1, 0)))
+    ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
+    s1 = jnp.where(cand_sigidx >= 0,
+                   jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
+    c1 = (_rect_box_counts(ii, cx, cy, s1, N1, N2).astype(dtype)
+          / ((2 * s1 + 1) ** 2).astype(dtype))
+    s2 = 2 * s1
+    c2 = (_rect_box_counts(ii, cx, cy, s2, N1, N2).astype(dtype)
+          / ((2 * s2 + 1) ** 2).astype(dtype))
+    pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
+    cand_pass = cand_valid & pass_sparse
+
+    # 8-neighborhood q/scale export for host clustering: tested neighbors
+    # get their BH q by sorted lookup, untested support cells the q=2
+    # marker, other in-matrix cells q=1 (log 0), outside +inf
+    offs = np.array([-1, 0, 1], np.int32)
+    nx = jnp.broadcast_to(cx[:, None, None] + offs[None, :, None], (K, 3, 3))
+    ny = jnp.broadcast_to(cy[:, None, None] + offs[None, None, :], (K, 3, 3))
+    inside = (nx >= 0) & (nx < N1) & (ny >= 0) & (ny < N2)
+    nxc = jnp.clip(nx, 0, N1 - 1)
+    nyc = jnp.clip(ny, 0, N2 - 1)
+    nb_q = _bh_lookup(sp, qs, keys[nxc, nyc])
+    LOG2 = dtype.type(math.log(2.0))
+    neigh_logq = jnp.where(
+        inside & found[nxc, nyc], nb_q,
+        jnp.where(inside & nz[nxc, nyc], LOG2,
+                  jnp.where(inside, dtype.type(0.0), pinf)))
+    neigh_sigidx = jnp.where(inside, best_sigidx[nxc, nyc], -1)
+
+    return {
+        "nz_count": nz_count,
+        "n_tested": n_tested,
+        "sig_count": sig_count,
+        "cand_x": cx,
+        "cand_y": cy,
+        "cand_logq": cand_logq,
+        "cand_sigidx": cand_sigidx.astype(jnp.int8),
+        "cand_pass": cand_pass,
+        "neigh_logq": neigh_logq,
+        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class InterBlockDetector:
+    cfg: DetectionConfig
+    spec: LadderSpec
+    n: int
+    _fn: Any
+    _fn_single: Any
+
+    @property
+    def _scalars(self):
+        dt = np.float64 if self.cfg.precision == "float64" else np.float32
+        return dt(self.cfg.st), dt(math.log(self.cfg.pt))
+
+    def fn(self, blocks):
+        st, lp = self._scalars
+        return self._fn(blocks, st, lp)
+
+    def fn_single(self, block):
+        st, lp = self._scalars
+        return self._fn_single(block, st, lp)
+
+    def __call__(self, blocks):
+        return self.fn(blocks)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_inter_detector_cached(octave_values: tuple, precision: str,
+                                 n: int, max_candidates: int):
+    spec = build_ladder(octave_values)
+    dtype = jnp.float64 if precision == "float64" else jnp.float32
+    kernels = spec.kernels.astype(dtype)
+    kw = dict(det_ceil=spec.det_ceil,
+              planes_per_octave=spec.planes_per_octave,
+              n_octaves=len(octave_values), K=max_candidates)
+
+    def one(c, st, log_pt):
+        return _detect_inter_one(c.astype(dtype), st, log_pt,
+                                 kernels=kernels, **kw)
+
+    return (spec, jax.jit(jax.vmap(one, in_axes=(0, None, None))),
+            jax.jit(one))
+
+
+def build_inter_detector(cfg: DetectionConfig, n: int,
+                         max_candidates: int | None = None):
+    spec, fn, fn_single = _build_inter_detector_cached(
+        cfg.octave_values, cfg.precision, n,
+        max_candidates or cfg.max_candidates)
+    return InterBlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn,
+                              _fn_single=fn_single)
+
+
+def _grid_1d(n: int, chunk: int, ov: int):
+    """Overlapping 1-D tile grid: advance chunk-ov, last tile right-aligned
+    (same construction as the intra grid, mustache.py:896-910)."""
+    if n <= chunk:
+        return [0], [n]
+    start, end = [0], [chunk]
+    while end[-1] < n:
+        start.append(end[-1] - ov)
+        end.append(start[-1] + chunk)
+    end[-1] = n
+    start[-1] = n - chunk
+    return start, end
+
+
+def finish_inter_block(out: dict, *, start1: int, start2: int,
+                       cfg: DetectionConfig, spec: LadderSpec):
+    """Host-side finish of one rectangle tile: gates, clustering, and the
+    per-component argmin-q emission (shared semantics with
+    detect.finish_block)."""
+    if int(out["nz_count"]) < cfg.min_nz:
+        return []
+    if int(out["nz_count"]) < cfg.min_tested:
+        return []
+    passing = np.asarray(out["cand_pass"])
+    if not passing.any():
+        return []
+    cx = np.asarray(out["cand_x"])[passing]
+    cy = np.asarray(out["cand_y"])[passing]
+    nlq = np.asarray(out["neigh_logq"])[passing]
+    nsi = np.asarray(out["neigh_sigidx"])[passing]
+    cands = [{"x": int(cx[i]), "y": int(cy[i]), "nlq": nlq[i], "nsi": nsi[i]}
+             for i in range(len(cx))]
+
+    det_sigmas = spec.det_sigmas
+    rows = []
+    for comp in _cluster_components(cands):
+        pixels: dict[tuple[int, int], tuple[float, int]] = {}
+        for cd in comp:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    px, py = cd["x"] + dx, cd["y"] + dy
+                    pixels[(px, py)] = (float(cd["nlq"][dx + 1, dy + 1]),
+                                        int(cd["nsi"][dx + 1, dy + 1]))
+        ordered = sorted(pixels.items())
+        best = min(range(len(ordered)), key=lambda i: (ordered[i][1][0], i))
+        (px, py), (lq, si) = ordered[best]
+        q = float(np.exp(np.float64(lq)))
+        sigma = det_sigmas[si] if si >= 0 else 1.0
+        rows.append((ordered[0][0], [px + start1, py + start2, q, sigma]))
+    rows.sort(key=lambda t: t[0])
+    return [r for _, r in rows]
+
+
+def detect_inter_loops_coo(x, y, v, cfg: DetectionConfig, *,
+                           normalize: bool = True, n1: int | None = None,
+                           n2: int | None = None, chunk: int | None = None):
+    """Loop calls for one inter-chromosomal COO rectangle (x on the first
+    chromosome's bins, y on the second's). Returns Loop-row lists
+    ``[x_bin, y_bin, q, sigma]``."""
+    if len(v) == 0:
+        return []
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    v = np.asarray(v, np.float64)
+    if n1 is None:
+        n1 = int(x.max()) + 1
+    if n2 is None:
+        n2 = int(y.max()) + 1
+    if normalize:
+        normalize_inter(v)
+
+    if chunk is None:
+        chunk = cfg.chunk_size
+    s1, e1 = _grid_1d(n1, chunk, OVERLAP)
+    s2, e2 = _grid_1d(n2, chunk, OVERLAP)
+    tiles = [(i, j) for i in range(len(s1)) for j in range(len(s2))]
+
+    det = build_inter_detector(cfg, chunk)
+    dtype = np.float64 if cfg.precision == "float64" else np.float32
+
+    # tile batches (dense H2D; inter maps are sparse enough that COO-side
+    # optimizations matter less than on the intra band path)
+    B = max(1, min(4, int(4e9 // (45 * chunk * chunk * 4))))
+    B = min(B, len(tiles))
+
+    order = np.argsort(x, kind="stable")
+    xs, ys, vs = x[order], y[order], v[order]
+    row_start = np.searchsorted(xs, np.arange(n1 + 1))
+
+    def densify(i, j):
+        cc = np.zeros((chunk, chunk), dtype=dtype)
+        p0, p1 = row_start[s1[i]], row_start[e1[i]]
+        sel = (ys[p0:p1] >= s2[j]) & (ys[p0:p1] < e2[j])
+        cc[xs[p0:p1][sel] - s1[i], ys[p0:p1][sel] - s2[j]] = vs[p0:p1][sel]
+        return cc
+
+    loops: list[list[float]] = []
+
+    def owned(idx, starts, ends, n):
+        """Half-open ownership interval of tile ``idx`` along one axis:
+        overlap midpoints partition the axis exactly, and every owned pixel
+        is >= OVERLAP/2 bins from its tile's window edges (full stencil
+        context; the last tile's left overlap may be wider, which only
+        moves its boundary further inside)."""
+        lo = 0 if idx == 0 else ends[idx - 1] - OVERLAP // 2
+        hi = n if idx == len(starts) - 1 else ends[idx] - OVERLAP // 2
+        return lo, hi
+
+    def finish(idxs, out):
+        out = jax.tree.map(np.asarray, out)
+        for bi, (i, j) in enumerate(idxs):
+            tile_out = jax.tree.map(lambda a: a[bi], out)
+            sig = int(tile_out["sig_count"])
+            if sig > cfg.max_candidates:
+                grown = build_inter_detector(
+                    cfg, chunk, max_candidates=1 << (sig - 1).bit_length())
+                tile_out = jax.tree.map(np.asarray,
+                                        grown.fn_single(densify(i, j)))
+            rows = finish_inter_block(tile_out, start1=s1[i], start2=s2[j],
+                                      cfg=cfg, spec=det.spec)
+            lo1, hi1 = owned(i, s1, e1, n1)
+            lo2, hi2 = owned(j, s2, e2, n2)
+            for r in rows:
+                # 2-D interior ownership: exactly one tile reports a pixel
+                if lo1 <= r[0] < hi1 and lo2 <= r[1] < hi2:
+                    loops.append(r)
+
+    pending = None
+    for b0 in range(0, len(tiles), B):
+        idxs = tiles[b0:b0 + B]
+        blocks = np.zeros((B, chunk, chunk), dtype=dtype)
+        for bi, (i, j) in enumerate(idxs):
+            blocks[bi] = densify(i, j)
+        launched = (idxs, det(jax.device_put(blocks)))
+        if pending is not None:
+            finish(*pending)
+        pending = launched
+    if pending is not None:
+        finish(*pending)
+    return loops

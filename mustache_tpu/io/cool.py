@@ -111,6 +111,39 @@ class CoolFile:
         pos = v > 0
         return b1[pos], b2[pos], v[pos]
 
+    def fetch_rect(self, chrom1: str, chrom2: str,
+                   balance: str | bool = True):
+        """COO triplets (x, y, v) of the chrom1 x chrom2 rectangle, bin
+        coords relative to each chromosome's start, balanced unless
+        ``balance`` is False. Cooler stores pixels upper-triangular in
+        genome bin order, so the stored orientation is by chromosome
+        index; the result is transposed back when the caller's order
+        differs."""
+        i1 = self.chrom_index(chrom1)
+        i2 = self.chrom_index(chrom2)
+        if i1 == i2:
+            raise ValueError("fetch_rect needs two distinct chromosomes")
+        flip = i1 > i2
+        a, b = (chrom2, chrom1) if flip else (chrom1, chrom2)
+        alo, ahi = self._chrom_bin_range(a)
+        blo, bhi = self._chrom_bin_range(b)
+        b1off = self._g["indexes/bin1_offset"][:]
+        p0, p1 = int(b1off[alo]), int(b1off[ahi])
+        px = self._g["pixels"]
+        b1 = px["bin1_id"][p0:p1].astype(np.int64)
+        b2 = px["bin2_id"][p0:p1].astype(np.int64)
+        v = px["count"][p0:p1].astype(np.float64)
+        keep = (b2 >= blo) & (b2 < bhi)
+        x, y, v = b1[keep] - alo, b2[keep] - blo, v[keep]
+        if balance is not False:
+            column = "weight" if balance is True else str(balance)
+            v = v * self.weights(a, column)[x] * self.weights(b, column)[y]
+        if flip:
+            x, y = y, x
+        v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+        pos = v > 0
+        return x[pos], y[pos], v[pos]
+
     def close(self):
         self._h5.close()
 
@@ -129,13 +162,13 @@ def read_cooler(path: str, distance_bp: int, chr1: str, chr2: str,
     res = clr.binsize
     if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
         raise NameError("wrong chromosome name!")
-    if chr1 != chr2:
-        raise NotImplementedError(
-            "inter-chromosomal analysis is not functional in the reference "
-            "(mustache.py:689-694 references an undefined variable) and is "
-            "not yet supported here")
     bal = True if not balance else balance
-    x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
+    if chr1 != chr2:
+        # rectangle fetch for the inter-chromosomal mode (functional here;
+        # the reference advertises but cannot serve it, mustache.py:689-694)
+        x, y, v = clr.fetch_rect(chr1, chr2, balance=bal)
+    else:
+        x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
     clr.close()
     return x, y, v, res
 
@@ -146,10 +179,11 @@ def read_mcooler(path: str, distance_bp: int, chr1: str, chr2: str, res: int,
     clr = CoolFile(path, resolution=res)
     if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
         raise NameError("wrong chromosome name!")
-    if chr1 != chr2:
-        raise NotImplementedError("inter-chromosomal analysis not supported")
     bal = True if not balance else balance
-    x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
+    if chr1 != chr2:
+        x, y, v = clr.fetch_rect(chr1, chr2, balance=bal)
+    else:
+        x, y, v = clr.fetch_band(chr1, distance_bp, balance=bal)
     clr.close()
     return x, y, v
 

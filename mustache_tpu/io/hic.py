@@ -352,6 +352,75 @@ class HicFile:
         return (np.asarray(xs, np.int64), np.asarray(ys, np.int64),
                 np.asarray(vs, np.float64))
 
+    def _decode_blocks(self, blocks):
+        """Decode a block list (native decoder when available) into
+        concatenated (binX, binY, counts) arrays."""
+        empty = (np.array([], np.int64), np.array([], np.int64),
+                 np.array([], np.float64))
+        decoded = None
+        try:
+            from mustache_tpu.io import native
+            if native.available() and blocks:
+                decoded = native.decode_hic_blocks(
+                    self.path,
+                    np.array([b.position for b in blocks], np.int64),
+                    np.array([b.size for b in blocks], np.int32),
+                    self.version)
+        except ImportError:
+            pass
+        if decoded is not None:
+            return decoded
+        xs, ys, vs = [], [], []
+        for entry in blocks:
+            bx, by, bv = self._decode_block(entry)
+            if len(bv):
+                xs.append(bx)
+                ys.append(by)
+                vs.append(bv)
+        if not xs:
+            return empty
+        return np.concatenate(xs), np.concatenate(ys), np.concatenate(vs)
+
+    def fetch_pair(self, chrom1: str, chrom2: str, resolution: int,
+                   norm: str | bool = False, unit: str = "BP"):
+        """All contact records of the chrom1 x chrom2 rectangle at a
+        resolution, as bin-index COO triplets (x on chrom1's bins, y on
+        chrom2's), optionally normalized by each chromosome's norm vector
+        at its anchor. The .hic matrix key is stored under the
+        lower-index chromosome first; the result is transposed back when
+        the caller's order differs."""
+        c1 = self.chrom_by_name(chrom1)
+        c2 = self.chrom_by_name(chrom2)
+        if c1.index == c2.index:
+            raise ValueError("fetch_pair needs two distinct chromosomes")
+        flip = c1.index > c2.index
+        a, b = (c2, c1) if flip else (c1, c2)
+        zoom = self._matrix_zoom(a.index, b.index, unit, resolution)
+        empty = (np.array([], np.int64), np.array([], np.int64),
+                 np.array([], np.float64))
+        if zoom is None:
+            return empty
+        # binX is on the first (lower-index) chromosome's axis, binY on the
+        # second's (straw's inter-chromosomal record convention)
+        x, y, v = self._decode_blocks(zoom.blocks)
+        if len(v) == 0:
+            return empty
+        if flip:
+            x, y = y, x
+        if norm and norm != "NONE":
+            def nv_for(c, coord):
+                nv = self.norm_vector(str(norm), c.index, unit, resolution)
+                if nv is None:
+                    raise ValueError(
+                        f"normalization {norm!r} not available for {c.name} "
+                        f"at {resolution}bp in {self.path}")
+                pad = int(coord.max()) + 1 - len(nv)
+                if pad > 0:
+                    nv = np.concatenate([nv, np.full(pad, np.nan)])
+                return nv
+            v = v / (nv_for(c1, x)[x] * nv_for(c2, y)[y])
+        return x, y, v
+
     def fetch_chromosome(self, chrom: str, resolution: int,
                          norm: str | bool = False, unit: str = "BP",
                          distance_bins: float | None = None):
@@ -369,34 +438,7 @@ class HicFile:
         if distance_bins is not None:
             blocks = cull_band_blocks(blocks, zoom, self.version,
                                       distance_bins)
-
-        decoded = None
-        try:
-            from mustache_tpu.io import native
-            if native.available() and blocks:
-                decoded = native.decode_hic_blocks(
-                    self.path,
-                    np.array([b.position for b in blocks], np.int64),
-                    np.array([b.size for b in blocks], np.int32),
-                    self.version)
-        except ImportError:
-            pass
-        if decoded is not None:
-            x, y, v = decoded
-        else:
-            xs, ys, vs = [], [], []
-            for entry in blocks:
-                bx, by, bv = self._decode_block(entry)
-                if len(bv):
-                    xs.append(bx)
-                    ys.append(by)
-                    vs.append(bv)
-            if not xs:
-                return (np.array([], np.int64), np.array([], np.int64),
-                        np.array([], np.float64))
-            x = np.concatenate(xs)
-            y = np.concatenate(ys)
-            v = np.concatenate(vs)
+        x, y, v = self._decode_blocks(blocks)
         if len(v) == 0:
             return (np.array([], np.int64), np.array([], np.int64),
                     np.array([], np.float64))
@@ -421,11 +463,17 @@ class HicFile:
 def read_hic_file(path: str, norm_method, chrm_size, distance_bp: int,
                   chr1: str, chr2: str, res: int):
     """Reference-shaped entry point (mustache.py:300-396): band-filtered,
-    normalized COO triplets for one chromosome; default norm "KR"."""
-    if chr1 != chr2:
-        raise NotImplementedError("inter-chromosomal .hic analysis not supported")
+    normalized COO triplets for one chromosome; default norm "KR".
+    For chr1 != chr2 the full rectangle is returned (the reference
+    advertises but cannot serve this, mustache.py:689-694)."""
     hic = HicFile(path)
     norm = norm_method if norm_method else "KR"
+    if chr1 != chr2:
+        x, y, v = hic.fetch_pair(chr1, chr2, res, norm=norm)
+        hic.close()
+        v[np.isnan(v)] = 0
+        keep = v > 0
+        return x[keep], y[keep], v[keep]
     x, y, v = hic.fetch_chromosome(chr1, res, norm=norm,
                                    distance_bins=distance_bp / res)
     hic.close()

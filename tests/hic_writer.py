@@ -123,12 +123,24 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
 
     master_pos_at = write_header()
 
-    # matrix bodies
+    # matrix bodies; pixel keys are a chromosome name (intra) or a
+    # (name1, name2) pair (inter rectangle, x on name1's bins, y on name2's;
+    # stored under the lower-index chromosome first as real files do)
+    names = [n for n, _ in chrom_table]
+
+    def key_indices(key):
+        if isinstance(key, tuple):
+            i1, i2 = names.index(key[0]), names.index(key[1])
+            assert i1 < i2, "write inter pairs in chromosome-table order"
+            return i1, i2
+        ci = names.index(key)
+        return ci, ci
+
     entries = {}
-    for ci, (name, length) in enumerate(chrom_table):
-        if name not in pixels:
-            continue
-        x, y, v = (np.asarray(a) for a in pixels[name])
+    for key in pixels:
+        ci, cj = key_indices(key)
+        length = chrom_table[ci][1]
+        x, y, v = (np.asarray(a) for a in pixels[key])
         n_cols = int(np.ceil((length / res) / block_bins))
         # split into blocks; the block NUMBER encodes position per straw's
         # conventions — v<9: row_block * n_cols + col_block (row from binY);
@@ -136,11 +148,12 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
         blocks = {}
         s9 = math.sqrt(2.0) * block_bins
         for xi, yi, vi in zip(x, y, v):
-            if version >= 9:
+            if version >= 9 and ci == cj:
                 depth = int(math.log2(1 + abs(int(yi) - int(xi)) / s9))
                 pad = (int(xi) + int(yi)) // 2 // block_bins
                 number = depth * n_cols + pad
             else:
+                # straw's inter (and v<9 intra) scheme: row from binY
                 number = (int(yi) // block_bins) * n_cols \
                     + (int(xi) // block_bins)
             blocks.setdefault(number, [[], [], []])
@@ -161,7 +174,7 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
             block_recs.append((number, payload))
         start = body.tell()
         mat = BytesIO()
-        mat.write(struct.pack("<iii", ci, ci, 1))
+        mat.write(struct.pack("<iii", ci, cj, 1))
         mat.write(_cstr("BP"))
         mat.write(struct.pack("<i", 0))      # zoom index
         mat.write(struct.pack("<f", float(np.sum(v))))
@@ -183,7 +196,7 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
             struct.pack_into("<iqi", raw, index_at + bi * 16, number,
                              payload_positions[bi], len(payload))
         body.write(bytes(raw))
-        entries[f"{ci}_{ci}"] = (start, len(raw))
+        entries[f"{ci}_{cj}"] = (start, len(raw))
 
     # norm vector payloads
     norm_entries = []

@@ -75,3 +75,29 @@ def synthetic_hic(n_bins: int, d_px: int, *, seed: int = 0,
         v = np.concatenate([v, np.array(extra_v)])
     order = np.lexsort((y, x))
     return x[order].astype(np.int64), y[order].astype(np.int64), v[order], anchors
+
+
+def synthetic_inter(n1: int, n2: int, *, seed: int = 0, n_loops: int = 12,
+                    loop_strength: float = 6.0, density: float = 0.5):
+    """Synthetic inter-chromosomal rectangle: uniform sparse background plus
+    planted Gaussian enrichment bumps at known (x, y) anchor pairs.
+    Returns (x, y, v, anchors) with x on the first chromosome's bins."""
+    rng = np.random.default_rng(seed)
+    occ = rng.random((n1, n2)) < density
+    c = np.where(occ, rng.poisson(8.0, size=(n1, n2)).astype(np.float64) + 1.0,
+                 0.0)
+    anchors = []
+    for _ in range(n_loops):
+        ax = int(rng.integers(10, n1 - 10))
+        ay = int(rng.integers(10, n2 - 10))
+        if any(abs(ax - a) < 8 and abs(ay - b) < 8 for a, b in anchors):
+            continue
+        anchors.append((ax, ay))
+        for ddx in range(-3, 4):
+            for ddy in range(-3, 4):
+                w = loop_strength * np.exp(-(ddx * ddx + ddy * ddy) / 3.0)
+                px, py = ax + ddx, ay + ddy
+                c[px, py] = max(c[px, py], 8.0) * (1.0 + w)
+    x, y = np.nonzero(c)
+    return (x.astype(np.int64), y.astype(np.int64),
+            c[x, y].astype(np.float64), anchors)

@@ -38,12 +38,15 @@ def build_cool(path, chroms, res, pixels, weights=None, group=None):
     g.create_dataset("bins/weight", data=w)
 
     b1_all, b2_all, v_all = [], [], []
-    for i, name in enumerate(names):
-        if name in pixels:
-            x, y, v = pixels[name]
-            b1_all.append(np.asarray(x) + chrom_offset[i])
-            b2_all.append(np.asarray(y) + chrom_offset[i])
-            v_all.append(np.asarray(v))
+    for key, (x, y, v) in pixels.items():
+        if isinstance(key, tuple):  # inter rectangle (x on key[0], y on key[1])
+            i1, i2 = names.index(key[0]), names.index(key[1])
+            assert i1 < i2, "write inter pairs in chromosome order"
+        else:
+            i1 = i2 = names.index(key)
+        b1_all.append(np.asarray(x) + chrom_offset[i1])
+        b2_all.append(np.asarray(y) + chrom_offset[i2])
+        v_all.append(np.asarray(v))
     b1 = np.concatenate(b1_all).astype(np.int64)
     b2 = np.concatenate(b2_all).astype(np.int64)
     v = np.concatenate(v_all)

@@ -37,20 +37,40 @@ D_PX_1KB = 2000            # 2 Mb band at 1kb
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
 
 
-def build_workload():
+def _cached_workload(n_bins, d_px, **kw):
+    """Deterministic synthetic workload with an on-disk cache.
+
+    This VM throttles the whole guest (CPU and the TPU tunnel) on a
+    token-bucket: ~2 minutes of host-side RNG/sorts before the measurement
+    starves the measured runs of transfer bandwidth. The generator is
+    seeded and pure, so cache the triplets and load them back with mmap
+    (near-zero host CPU) on every run after the first."""
+    cache_dir = os.path.expanduser("~/.cache/mustache_tpu/bench_v1")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"hic_{n_bins}_{d_px}_" + "_".join(
+        f"{k}{kw[k]}" for k in sorted(kw))
+    path = os.path.join(cache_dir, tag + ".npz")
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        return z["x"], z["y"], z["v"]
     from synthetic import synthetic_hic
 
-    x, y, v, _ = synthetic_hic(CHR21_BINS, D_PX, seed=2021, n_loops=300,
-                               loop_strength=3.0)
+    x, y, v, _ = synthetic_hic(n_bins, d_px, **kw)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, x=x, y=y, v=v)
+    os.replace(tmp, path)
     return x, y, v
+
+
+def build_workload():
+    return _cached_workload(CHR21_BINS, D_PX, seed=2021, n_loops=300,
+                            loop_strength=3.0)
 
 
 def build_workload_1kb():
-    from synthetic import synthetic_hic
-
-    x, y, v, _ = synthetic_hic(BINS_1KB, D_PX_1KB, seed=1011, n_loops=150,
-                               loop_strength=3.0, density=0.95)
-    return x, y, v
+    return _cached_workload(BINS_1KB, D_PX_1KB, seed=1011, n_loops=150,
+                            loop_strength=3.0, density=0.95)
 
 
 def _setup_jax_cache():
@@ -170,12 +190,11 @@ def main():
     updated = False
 
     # ---- differential two-condition 5kb (config-5 shape) -----------------
-    from synthetic import synthetic_hic
     cfg_diff = DetectionConfig(resolution=5000, distance_bp=2_000_000,
                                pt=0.1, st=0.8, pt2=0.1, precision="float32")
-    x1, y1, v1, _ = synthetic_hic(CHR21_BINS, D_PX, seed=2021, n_loops=300,
+    x1, y1, v1 = _cached_workload(CHR21_BINS, D_PX, seed=2021, n_loops=300,
                                   loop_strength=3.0)
-    x2, y2, v2, _ = synthetic_hic(CHR21_BINS, D_PX, seed=2022, n_loops=300,
+    x2, y2, v2 = _cached_workload(CHR21_BINS, D_PX, seed=2022, n_loops=300,
                                   loop_strength=3.0)
     value_diff = _measure_diff(x1, y1, v1, x2, y2, v2, cfg_diff,
                                CHR21_MB, warm_runs=2)

@@ -1,0 +1,180 @@
+"""On-device per-diagonal z-score normalization of the chromosome band.
+
+The pipeline's transfer layout is the diagonal band ``band[i, d] =
+map[i, i+d]`` — and diagonal ``d`` is simply column ``d`` of that array,
+so the reference's per-diagonal moving-window statistics
+(mustache.py:622-686, reimplemented host-side in
+``mustache_tpu.normalize``) become column-wise cumulative sums on device:
+upload the RAW counts band once, normalize it with one jitted call, and
+feed the result straight to the detector. This removes every host-side
+normalize pass from the hot path (the host only scatter-fills the raw
+band), which matters doubly on throttled VMs where host CPU burn also
+strangles the TPU transfer link.
+
+Semantics match ``normalize.normalize_sparse`` for ingested data (finite
+values, v > 0, unique (x, y) pairs — the ingest paths guarantee all
+three). The two documented deviations, both unreachable from ingest:
+entries with v == 0 are "occupied" for the host path (it scatters
+v + 0.001) but not here, and the global regime's grouped statistics here
+exclude non-finite/zero entries rather than zeroing them first.
+
+f32 precision notes: window sums are computed on globally-centered values
+(subtracting each diagonal's global mean turns the cumulative sums into
+zero-drift random walks, so differencing them is stable), and XLA lowers
+``cumsum`` to a logarithmic-depth associative scan whose rounding grows
+like log2(n) — both keep the f32 z-scores within ~1e-5 of the host's
+f64-accumulated values (tested in tests/test_bandnorm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+
+def _winsum_fast(a, F: int, rows: int):
+    """Column-wise moving-window sums, numpy-'same' centering, for columns
+    whose true length is >= F. Clamps are free: the cumulative sum is flat
+    wherever the data is zero-padded, and the low clamp lands on cs[0]=0.
+    Pure static slices — no gathers."""
+    import jax.numpy as jnp
+
+    off = (F - 1) // 2
+    cs = jnp.concatenate([jnp.zeros_like(a[:1]), jnp.cumsum(a, axis=0)], 0)
+    # hi = cs[i + off + 1] for i in [0, rows): indices reach rows + off
+    hi_src = jnp.concatenate(
+        [cs, jnp.broadcast_to(cs[-1:], (off, cs.shape[1]))], 0)
+    hi = hi_src[off + 1: off + 1 + rows]
+    # lo = cs[max(i + off - F + 1, 0)]: negative indices clamp to cs[0]=0
+    sh = off - F + 1  # <= 0
+    lo = jnp.concatenate(
+        [jnp.zeros((-sh, cs.shape[1]), a.dtype), cs[: rows + sh]], 0)
+    return hi - lo
+
+
+def _winsum_general(a, F: int, rows: int, n: int):
+    """Same, but with numpy's short-row centering swap (rows shorter than
+    the window recentre at (len-1)//2) — a per-column offset, so this path
+    gathers. Only compiled when the band holds diagonals shorter than F."""
+    import jax.numpy as jnp
+
+    Dl = a.shape[1]
+    cs = jnp.concatenate([jnp.zeros_like(a[:1]), jnp.cumsum(a, axis=0)], 0)
+    lend = np.clip(n - np.arange(Dl), 0, rows)
+    offd = np.where(lend < F, (np.maximum(lend, 1) - 1) // 2, (F - 1) // 2)
+    i = np.arange(rows)[:, None]
+    hi_idx = np.clip(i + offd[None, :] + 1, 0, lend[None, :])
+    lo_idx = np.clip(i + offd[None, :] - F + 1, 0, lend[None, :])
+    return (jnp.take_along_axis(cs, jnp.asarray(hi_idx), 0)
+            - jnp.take_along_axis(cs, jnp.asarray(lo_idx), 0))
+
+
+def _column_stats(band, occ, dtype):
+    """Per-column mean/std over occupied cells of the raw band, with the
+    host path's NaN guards (empty column -> mean 0, std 1), plus the
+    p-value weight vector 1 + log30(1 + mean)."""
+    import jax.numpy as jnp
+
+    occf = occ.astype(dtype)
+    cnt = jnp.sum(occf, axis=0)
+    mean = jnp.sum(band, axis=0) / cnt                  # NaN when empty
+    mean = jnp.where(jnp.isfinite(mean), mean, dtype.type(0.0))
+    var = jnp.sum(jnp.where(occ, (band - mean[None, :]) ** 2,
+                            dtype.type(0.0)), axis=0) / cnt
+    std = jnp.sqrt(var)
+    std = jnp.where(jnp.isfinite(std), std, dtype.type(1.0))
+    weights = 1.0 + jnp.log1p(mean) / dtype.type(math.log(30.0))
+    return mean, std, weights
+
+
+def _normalize_band_local(band, *, n, F, Dv, rows, short_cols):
+    """Local (windowed) regime: normalize.normalize_sparse's >2Mb branch
+    evaluated column-wise on the band."""
+    import jax.numpy as jnp
+
+    dtype = band.dtype
+    occ = band != 0
+    mean_g, std_g, weights = _column_stats(band, occ, dtype)
+
+    bandp = jnp.where(occ, band + dtype.type(0.001), dtype.type(0.0))
+    mcol = mean_g + dtype.type(0.001)
+    bc = jnp.where(occ, bandp - mcol[None, :], dtype.type(0.0))
+
+    win = (_winsum_general if short_cols else _winsum_fast)
+    wargs = dict(F=F, rows=rows) | ({"n": n} if short_cols else {})
+    cnt = win(occ.astype(dtype), **wargs)
+    s1c = win(bc, **wargs)
+    s2c = win(bc * bc, **wargs)
+
+    # identical algebra to the host path's raw sums: with the global-mean
+    # centering, s2 - s1^2/cnt is invariant and lm = mcol + s1c/cnt
+    lm = mcol[None, :] + s1c / cnt
+    lv = (s2c - s1c * s1c / cnt) / (cnt - 1)
+    gs2 = (std_g * std_g)[None, :]
+    gm = mean_g[None, :]
+    lv = jnp.where(jnp.isfinite(lv), lv, gs2)
+    low = cnt < 30
+    lm = jnp.where(low, gm, lm)
+    lv = jnp.where(low, gs2, lv)
+    lm = jnp.where(jnp.isfinite(lm), lm, gm)
+
+    z = (bandp - lm) / jnp.sqrt(lv)
+    z = jnp.where(jnp.isfinite(z), z, dtype.type(0.0))
+    z = z * weights[None, :]
+
+    dcol = np.arange(band.shape[1], dtype=np.int32)[None, :]
+    out = jnp.where(occ & (dcol < Dv), z, band)
+    return out, weights
+
+
+def _normalize_band_global(band, *, dpx):
+    """Global regime (small maps): plain per-diagonal z-score of the raw
+    values for d < dpx; other cells keep their raw values."""
+    import jax.numpy as jnp
+
+    dtype = band.dtype
+    occ = band != 0
+    mean_g, std_g, _ = _column_stats(band, occ, dtype)
+    z = (band - mean_g[None, :]) / std_g[None, :]
+    z = jnp.where(jnp.isfinite(z), z, dtype.type(0.0))
+    dcol = np.arange(band.shape[1], dtype=np.int32)[None, :]
+    out = jnp.where(occ & (dcol < dpx), z, band)
+    return out, jnp.zeros((0,), dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_norm_fn(rows: int, Dl: int, n: int, resolution: int,
+                   distance_in_px: int):
+    import jax
+
+    local = (n - distance_in_px) * resolution > 2_000_000
+    if local:
+        F = int(2_000_000 / resolution)
+        Dv = min(2 + distance_in_px, n)
+        short_cols = n - (Dl - 1) < F  # any diagonal shorter than the window
+        fn = functools.partial(_normalize_band_local, n=n, F=F, Dv=Dv,
+                               rows=rows, short_cols=short_cols)
+    else:
+        fn = functools.partial(_normalize_band_global,
+                               dpx=min(distance_in_px, n))
+    # donate: the raw band is dead after this call (2GB at 1kb genome scale)
+    return jax.jit(fn, donate_argnums=0)
+
+
+def normalize_band_device(band_raw, n: int, resolution: int,
+                          distance_in_px: int):
+    """Normalize a raw chromosome band on device.
+
+    ``band_raw``: [rows, Dl] raw counts band (host array or device array;
+    host arrays are uploaded here). Returns ``(band_norm, weights)`` device
+    arrays; the input buffer is donated.
+    """
+    import jax
+
+    rows, Dl = band_raw.shape
+    fn = _build_norm_fn(rows, Dl, n, resolution, distance_in_px)
+    if not isinstance(band_raw, jax.Array):
+        band_raw = jax.device_put(band_raw)
+    return fn(band_raw)

@@ -117,7 +117,21 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         # do would land in the sentinel wedge either way.
         band = np.zeros((max(n, width), band_width(width, d_px)), dtype=dtype)
 
-    if normalize:
+    # normalize ON DEVICE when the band layout is in play for the f32 fast
+    # path: the host only scatter-fills the RAW band; the per-diagonal
+    # windowed z-score runs as column cumsums on chip (bandnorm.py). The
+    # f64 golden path and the exact mode keep the host normalize.
+    device_norm = (band is not None and normalize and not exact_normalize
+                   and dtype == np.float32)
+    band_dev = None
+    if device_norm:
+        from mustache_tpu.bandnorm import normalize_band_device
+
+        d_arr = y - x
+        sel = d_arr < band.shape[1]
+        band[x[sel], d_arr[sel]] = v[sel]
+        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px)
+    elif normalize:
         work = (np.float64 if (exact_normalize or cfg.precision == "float64")
                 else np.float32)
         # the f32 band is filled inside the (native) normalize pass
@@ -139,7 +153,8 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     B = _auto_batch(width, cfg, backend, nblocks)
     detector = build_detector(cfg, width)
 
-    band_dev = jax.device_put(band) if band is not None else None
+    if band is not None and band_dev is None:
+        band_dev = jax.device_put(band)
 
     def launch(idxs):
         if band_dev is not None:
@@ -153,14 +168,23 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
 
     loops: list[Loop] = []
 
+    def rerun_block(i, cap):
+        """Re-detect block i with a larger candidate capacity: from the
+        device-resident (already normalized) band when one exists, else
+        from a host densify of the (host-normalized) COO triplets."""
+        det = build_detector(cfg, width, max_candidates=cap)
+        if band_dev is not None:
+            out = det.fn_band(band_dev, np.asarray([start[i]], np.int32))
+            return jax.tree.map(lambda a: np.asarray(a[0]), out)
+        block = densify_block(x, y, v, start[i], end[i], width, dtype)
+        return jax.tree.map(np.asarray, det.fn_single(block))
+
     def finish(idxs, out):
         out = jax.tree.map(np.asarray, out)
         for bi, i in enumerate(idxs):
             block_out = jax.tree.map(lambda a: a[bi], out)
             block_out = _maybe_regrow(
-                block_out, cfg, width,
-                lambda i=i: densify_block(x, y, v, start[i], end[i], width,
-                                          dtype))
+                block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
             rows = finish_block(
                 block_out, block_index=i, start=start[i], cfg=cfg,
                 spec=detector.spec,
@@ -184,20 +208,15 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     return loops
 
 
-def _maybe_regrow(block_out: dict, cfg: DetectionConfig, width: int,
-                  densify) -> dict:
+def _maybe_regrow(block_out: dict, cfg: DetectionConfig, rerun) -> dict:
     """If the candidate table overflowed (more pixels below the q threshold
     than capacity), rerun this single block with a larger capacity.
-    ``densify``: zero-arg callable producing the dense block (lazy — the
-    band fast path never materializes host blocks in the common case)."""
-    import jax
-
+    ``rerun``: callable ``(capacity) -> block_out`` re-detecting the block
+    (lazy — the band fast path never materializes host blocks)."""
     sig = int(block_out["sig_count"])
     if sig <= cfg.max_candidates:
         return block_out
-    cap = 1 << (sig - 1).bit_length()
-    det = build_detector(cfg, width, max_candidates=cap)
-    return jax.tree.map(np.asarray, det.fn_single(densify()))
+    return rerun(1 << (sig - 1).bit_length())
 
 
 def write_loops(path: str, per_chrom: Iterable[tuple[str, str, int, Sequence[Loop]]]):

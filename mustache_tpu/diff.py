@@ -353,20 +353,18 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
                key=lambda b: (-(-nblocks // b) * b, -b))
 
 
-def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig, width: int,
-                       densify) -> dict:
+def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig,
+                       rerun) -> dict:
     """If either condition's candidate table overflowed (more pixels below
     the q threshold than capacity), rerun this block with a larger capacity.
     The reference selects ALL pixels with q < pt (diff_mustache.py:458,473),
-    so truncation would silently drop loops. ``densify``: zero-arg callable
-    producing the dense (cc1, cc2) pair (lazy — the band fast path never
-    materializes host blocks in the common case)."""
+    so truncation would silently drop loops. ``rerun``: callable
+    ``(capacity) -> block_out`` re-detecting the block (lazy — the band
+    fast path never materializes host blocks)."""
     sig = max(int(block_out["sig_count1"]), int(block_out["sig_count2"]))
     if sig <= cfg.max_candidates:
         return block_out
-    cap = 1 << (sig - 1).bit_length()
-    det = build_diff_detector(cfg, width, max_candidates=cap)
-    return jax.tree.map(np.asarray, det.fn_single(*densify()))
+    return rerun(1 << (sig - 1).bit_length())
 
 
 def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
@@ -399,12 +397,28 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     width = chunk
     dtype = np.float64 if cfg.precision == "float64" else np.float32
 
+    # device normalize (see pipeline.detect_loops_coo): the host only
+    # scatter-fills the RAW bands; the per-diagonal windowed z-score runs
+    # on chip, once per condition with its OWN bin count (the window
+    # clipping at diagonal tails depends on it, diff_mustache.py:634).
+    # The sharded-runner path also device-normalizes (band pulled back
+    # once, blocks densified from it) so sharded == unsharded values.
+    device_norm = (normalize and not exact_normalize
+                   and dtype == np.float32)
+
     bands = None
-    if runner is None:
+    if runner is None or device_norm:
         # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
         from mustache_tpu.detect import band_width
         shape = (max(n, width), band_width(width, d_px))
         bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
+
+    def fill_raw(x, y, v, band):
+        from mustache_tpu.io import native
+
+        if not native.fill_band(x, y, v, band):
+            sel = (y - x >= 0) & ((y - x) < band.shape[1])
+            band[x[sel], (y - x)[sel]] = v[sel]
 
     def prep(x, y, v, band, n_own):
         if normalize:
@@ -412,19 +426,30 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
                     if (exact_normalize or cfg.precision == "float64")
                     else np.float32)
             fuse = band if band is not None and dtype == np.float32 else None
-            # each condition normalizes with its OWN bin count (the window
-            # clipping at diagonal tails depends on it, diff_mustache.py:634)
             normalize_sparse(x, y, v, cfg.resolution, d_px,
                              exact=exact_normalize, work_dtype=work,
                              band_out=fuse, n=n_own)
             if band is None or fuse is not None:
                 return
         if band is not None:
-            sel = (y - x) < band.shape[1]
-            band[x[sel], (y - x)[sel]] = v[sel]
+            fill_raw(x, y, v, band)
 
-    prep(x1, y1, v1, bands[0] if bands else None, n1)
-    prep(x2, y2, v2, bands[1] if bands else None, n2)
+    bands_dev = None
+    bands_host = None
+    if device_norm:
+        from mustache_tpu.bandnorm import normalize_band_device
+
+        fill_raw(x1, y1, v1, bands[0])
+        fill_raw(x2, y2, v2, bands[1])
+        norm = (normalize_band_device(bands[0], n1, cfg.resolution, d_px)[0],
+                normalize_band_device(bands[1], n2, cfg.resolution, d_px)[0])
+        if runner is None:
+            bands_dev = norm
+        else:
+            bands_host = (np.asarray(norm[0]), np.asarray(norm[1]))
+    else:
+        prep(x1, y1, v1, bands[0] if bands else None, n1)
+        prep(x2, y2, v2, bands[1] if bands else None, n2)
 
     start, end = chunk_grid(n, chunk, d_px)
     masks = block_mask_sizes(start, end, d_px)
@@ -434,9 +459,17 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     B = _auto_batch_diff(width, cfg, backend, nblocks)
     det = build_diff_detector(cfg, width)
 
-    bands_dev = None
-    if bands is not None:
+    if bands is not None and bands_dev is None and runner is None:
         bands_dev = (jax.device_put(bands[0]), jax.device_put(bands[1]))
+
+    def host_blocks(i):
+        from mustache_tpu.pipeline import densify_from_band
+
+        if bands_host is not None:
+            return (densify_from_band(bands_host[0], start[i], width),
+                    densify_from_band(bands_host[1], start[i], width))
+        return (densify_block(x1, y1, v1, start[i], end[i], width, dtype),
+                densify_block(x2, y2, v2, start[i], end[i], width, dtype))
 
     def launch(idxs):
         if bands_dev is not None:
@@ -446,22 +479,28 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         b1 = np.zeros((B, width, width), dtype=dtype)
         b2 = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
-            b1[bi] = densify_block(x1, y1, v1, start[i], end[i], width, dtype)
-            b2[bi] = densify_block(x2, y2, v2, start[i], end[i], width, dtype)
+            b1[bi], b2[bi] = host_blocks(i)
         return idxs, runner(det, (b1, b2))
 
     results = []
+
+    def rerun_block(i, cap):
+        """Re-detect block i with a larger candidate capacity: from the
+        device-resident (already normalized) bands when they exist, else
+        from a host densify of the (host-normalized) COO triplets."""
+        det2 = build_diff_detector(cfg, width, max_candidates=cap)
+        if bands_dev is not None:
+            out = det2.fn_band(bands_dev[0], bands_dev[1],
+                               np.asarray([start[i]], np.int32))
+            return jax.tree.map(lambda a: np.asarray(a[0]), out)
+        return jax.tree.map(np.asarray, det2.fn_single(*host_blocks(i)))
 
     def finish(idxs, out):
         out = jax.tree.map(np.asarray, out)
         for bi, i in enumerate(idxs):
             block_out = jax.tree.map(lambda a: a[bi], out)
             block_out = _maybe_regrow_diff(
-                block_out, cfg, width,
-                lambda i=i: (densify_block(x1, y1, v1, start[i], end[i],
-                                           width, dtype),
-                             densify_block(x2, y2, v2, start[i], end[i],
-                                           width, dtype)))
+                block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
             groups = finish_diff_block(block_out, start=start[i], cfg=cfg,
                                        spec=det.spec)
             mask = masks[i]

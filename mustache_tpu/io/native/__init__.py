@@ -63,6 +63,19 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32,
     ]
+    lib.mtpu_fill_band.restype = ctypes.c_int
+    lib.mtpu_fill_band.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
     lib.mtpu_normalize_band.restype = ctypes.c_int
     lib.mtpu_normalize_band.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -140,6 +153,33 @@ def normalize_coo(x, y, v, n_bins, Dv, F, band_out=None, n_threads=8):
     if rc != 0:
         raise RuntimeError(f"native normalize_coo failed (rc={rc})")
     return weights, skipped.value
+
+
+def fill_band(x, y, v, band_out, n_threads=8) -> bool:
+    """Scatter-fill ``band_out[x, y-x] = v`` (entries outside the band or
+    row range skipped) in one threaded native pass. Returns False when the
+    native library is unavailable (caller falls back to numpy). ``x``/``y``
+    must share an int32 or int64 dtype, ``v`` float32 or float64; all
+    C-contiguous (the hot callers already satisfy this — no copies here)."""
+    lib = _load()
+    if lib is None:
+        return False
+    if (x.dtype != y.dtype or x.dtype not in (np.int32, np.int64)
+            or v.dtype not in (np.float32, np.float64)
+            or band_out.dtype != np.float32
+            or not (x.flags.c_contiguous and y.flags.c_contiguous
+                    and v.flags.c_contiguous and band_out.flags.c_contiguous)):
+        return False
+    rc = lib.mtpu_fill_band(
+        x.ctypes.data_as(ctypes.c_void_p), y.ctypes.data_as(ctypes.c_void_p),
+        1 if x.dtype == np.int64 else 0,
+        v.ctypes.data_as(ctypes.c_void_p),
+        1 if v.dtype == np.float64 else 0,
+        len(v), band_out, band_out.shape[0], band_out.shape[1],
+        int(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"native fill_band failed (rc={rc})")
+    return True
 
 
 def normalize_band(xs_sorted, vs_sorted, row_off, n_bins, Dv, F, g_mean,

@@ -50,6 +50,21 @@ def densify_block(x, y, v, start: int, end: int, chunk: int,
     return cc
 
 
+def densify_from_band(band: np.ndarray, start: int, width: int) -> np.ndarray:
+    """Dense [width, width] block for [start, start+width) reconstructed
+    from the diagonal-band layout band[r, d] == dense[r, r+d] (the host
+    twin of the device inverse-shear in detect.fn_band). Used by the
+    sharded-runner path so it sees the SAME (device-normalized) values as
+    the band fast path."""
+    out = np.zeros((width, width), dtype=band.dtype)
+    Dl = band.shape[1]
+    for d in range(min(Dl, width)):
+        m = width - d
+        idx = np.arange(m)
+        out[idx, idx + d] = band[start:start + m, d]
+    return out
+
+
 def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
                 nblocks: int) -> int:
     if cfg.block_batch:
@@ -107,8 +122,16 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # the f64 golden path keeps full-precision blocks on device
     dtype = np.float64 if cfg.precision == "float64" else np.float32
 
+    # normalize ON DEVICE when the f32 fast path is in play: the host only
+    # scatter-fills the RAW band; the per-diagonal windowed z-score runs
+    # as column cumsums on chip (bandnorm.py). The f64 golden path and the
+    # exact mode keep the host normalize. The sharded-runner path ALSO
+    # device-normalizes (then pulls the band back once and densifies its
+    # blocks from it) so sharded and unsharded runs see identical values.
+    device_norm = (normalize and not exact_normalize
+                   and dtype == np.float32)
     band = None
-    if runner is None:
+    if runner is None or device_norm:
         # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
         # bytes than the dense blocks, the dominant cost on PCIe/tunneled
         # links); each block is sliced + densified on device (fn_band).
@@ -117,20 +140,21 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         # do would land in the sentinel wedge either way.
         band = np.zeros((max(n, width), band_width(width, d_px)), dtype=dtype)
 
-    # normalize ON DEVICE when the band layout is in play for the f32 fast
-    # path: the host only scatter-fills the RAW band; the per-diagonal
-    # windowed z-score runs as column cumsums on chip (bandnorm.py). The
-    # f64 golden path and the exact mode keep the host normalize.
-    device_norm = (band is not None and normalize and not exact_normalize
-                   and dtype == np.float32)
     band_dev = None
+    band_host = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device
+        from mustache_tpu.io import native
 
-        d_arr = y - x
-        sel = d_arr < band.shape[1]
-        band[x[sel], d_arr[sel]] = v[sel]
-        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px)
+        if not native.fill_band(x, y, v, band):
+            d_arr = y - x
+            sel = (d_arr >= 0) & (d_arr < band.shape[1])
+            band[x[sel], d_arr[sel]] = v[sel]
+        band_norm, _ = normalize_band_device(band, n, cfg.resolution, d_px)
+        if runner is None:
+            band_dev = band_norm
+        else:
+            band_host = np.asarray(band_norm)
     elif normalize:
         work = (np.float64 if (exact_normalize or cfg.precision == "float64")
                 else np.float32)
@@ -153,8 +177,13 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     B = _auto_batch(width, cfg, backend, nblocks)
     detector = build_detector(cfg, width)
 
-    if band is not None and band_dev is None:
+    if band is not None and band_dev is None and runner is None:
         band_dev = jax.device_put(band)
+
+    def host_block(i):
+        if band_host is not None:
+            return densify_from_band(band_host, start[i], width)
+        return densify_block(x, y, v, start[i], end[i], width, dtype)
 
     def launch(idxs):
         if band_dev is not None:
@@ -163,7 +192,7 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
             return idxs, detector.fn_band(band_dev, starts)
         blocks = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
-            blocks[bi] = densify_block(x, y, v, start[i], end[i], width, dtype)
+            blocks[bi] = host_block(i)
         return idxs, runner(detector, blocks)
 
     loops: list[Loop] = []
@@ -176,8 +205,7 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         if band_dev is not None:
             out = det.fn_band(band_dev, np.asarray([start[i]], np.int32))
             return jax.tree.map(lambda a: np.asarray(a[0]), out)
-        block = densify_block(x, y, v, start[i], end[i], width, dtype)
-        return jax.tree.map(np.asarray, det.fn_single(block))
+        return jax.tree.map(np.asarray, det.fn_single(host_block(i)))
 
     def finish(idxs, out):
         out = jax.tree.map(np.asarray, out)

@@ -100,3 +100,30 @@ def test_pipeline_device_norm_regrow():
     got = {(lp.bin1, lp.bin2) for lp in small_loops}
     want = {(lp.bin1, lp.bin2) for lp in big_loops}
     assert got == want and len(want) > 0
+
+
+def test_diff_pipeline_device_norm_same_calls():
+    """detect_diff_loops_coo f32 (device normalize) vs normalize=False fed
+    with host-normalized values: identical rows (all four tags)."""
+    from mustache_tpu.diff import detect_diff_loops_coo
+
+    cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
+                          pt=0.2, st=0.6, pt2=0.2, precision="float32")
+    x1, y1, v1, _ = synthetic_hic(1500, 300, seed=31, n_loops=25)
+    x2, y2, v2, _ = synthetic_hic(1500, 300, seed=32, n_loops=25)
+
+    rows_dev = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(),
+                                     cfg)
+
+    vv1, vv2 = v1.copy(), v2.copy()
+    normalize_sparse(x1, y1, vv1, cfg.resolution, cfg.distance_px,
+                     work_dtype=np.float32, n=1500)
+    normalize_sparse(x2, y2, vv2, cfg.resolution, cfg.distance_px,
+                     work_dtype=np.float32, n=1500)
+    rows_host = detect_diff_loops_coo(x1, y1, vv1, x2, y2, vv2, cfg,
+                                      normalize=False)
+
+    got = {(r[0], r[1], r[4]) for r in rows_dev}
+    want = {(r[0], r[1], r[4]) for r in rows_host}
+    assert got == want
+    assert len(rows_dev) > 5

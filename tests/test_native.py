@@ -58,3 +58,27 @@ def test_hic_native_decoder_matches_python(tmp_path, monkeypatch, version):
     got = sorted(zip(Xn.tolist(), Yn.tolist(), Vn.tolist()))
     want = sorted(zip(Xp.tolist(), Yp.tolist(), Vp.tolist()))
     assert got == want and len(got) == len(v)
+
+
+@needs_native
+@pytest.mark.parametrize("idt,vdt", [(np.int64, np.float64),
+                                     (np.int32, np.float32)])
+def test_fill_band_matches_numpy(idt, vdt):
+    rng = np.random.default_rng(114)
+    n, Dl, m = 800, 256, 50_000
+    x = rng.integers(0, n, m).astype(idt)
+    d = rng.integers(0, Dl + 32, m).astype(idt)  # some entries off the band
+    y = (x + d).astype(idt)
+    # unique pairs, like ingest guarantees
+    _, keep = np.unique(x.astype(np.int64) * (n + Dl + 32)
+                        + d.astype(np.int64), return_index=True)
+    x, y, d = x[keep], y[keep], d[keep]
+    v = rng.random(len(x)).astype(vdt)
+
+    want = np.zeros((n, Dl), np.float32)
+    sel = d < Dl
+    want[x[sel], d[sel]] = v[sel]
+
+    got = np.zeros((n, Dl), np.float32)
+    assert native.fill_band(x, y, v, got)
+    np.testing.assert_array_equal(got, want)

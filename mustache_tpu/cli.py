@@ -124,6 +124,11 @@ def build_parser(diff: bool = False) -> argparse.ArgumentParser:
                         "the same output path and parameters.")
     p.add_argument("--engine-json-log", dest="json_log", action="store_true",
                    help="Structured JSON event log on stderr.")
+    p.add_argument("--engine-no-prefetch", dest="no_prefetch",
+                   action="store_true",
+                   help="Disable the one-chromosome ingest lookahead "
+                        "(by default the next chromosome's file decode "
+                        "overlaps the current chromosome's detection).")
     # multi-host execution (replaces the reference's sequential
     # per-chromosome loop, mustache.py:1057-1080, with a chromosome shard
     # per process; jax.distributed + process-0 assembly)
@@ -295,7 +300,34 @@ def main(argv=None):
         log.event("shard", process=procid, nprocs=nprocs,
                   chromosomes=[str(c) for c, _ in pairs])
 
-    for i, (chromosome, chromosome2) in enumerate(pairs):
+    def ingest_one(chromosome, chromosome2):
+        chrm_size = False
+        if chrSize_in_bp:
+            chrm_size = chrSize_in_bp.get(
+                "chr" + normalize_chrom(chromosome), False)
+        return load_contacts(f, args.norm_method, chrm_size, dist_bp,
+                             chromosome, chromosome2, res, biasf)
+
+    todo = []
+    for chromosome, chromosome2 in pairs:
+        unit_name = str(chromosome) if chromosome == chromosome2 else \
+            f"{chromosome}__x__{chromosome2}"
+        if manifest and args.resume and \
+                unit_name in manifest.completed_chromosomes():
+            continue
+        todo.append((chromosome, chromosome2, unit_name))
+
+    # cross-chromosome software pipelining: chromosome k+1's file decode
+    # (disk + zlib + bias math, all host-side) runs on a worker thread
+    # while chromosome k detects on the device. One-deep lookahead bounds
+    # peak memory to two chromosomes' COO triplets.
+    prefetch = None
+    if not args.no_prefetch and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        prefetch = ThreadPoolExecutor(max_workers=1)
+    pending = None
+
+    for i, (chromosome, chromosome2, unit_name) in enumerate(todo):
         inter = chromosome != chromosome2
         if inter and not (f.endswith(".hic") or f.endswith(".cool")
                           or f.endswith(".mcool")):
@@ -303,19 +335,17 @@ def main(argv=None):
             print("Interchromosomal analysis is only supported for .hic "
                   "and .cool input formats.")
             return 1
-        unit_name = str(chromosome) if not inter else \
-            f"{chromosome}__x__{chromosome2}"
-        if manifest and args.resume and \
-                unit_name in manifest.completed_chromosomes():
-            continue
-        chrm_size = False
-        if chrSize_in_bp:
-            chrm_size = chrSize_in_bp.get("chr" + normalize_chrom(chromosome), False)
 
-        with log.phase("ingest", chromosome=str(chromosome)):
-            x, y, v, res_eff = load_contacts(
-                f, args.norm_method, chrm_size, dist_bp, chromosome,
-                chromosome2, res, biasf)
+        with log.phase("ingest", chromosome=str(chromosome),
+                       prefetched=pending is not None):
+            if pending is not None:
+                x, y, v, res_eff = pending.result()
+            else:
+                x, y, v, res_eff = ingest_one(chromosome, chromosome2)
+        pending = None
+        if prefetch is not None and i + 1 < len(todo):
+            nxt = todo[i + 1]
+            pending = prefetch.submit(ingest_one, nxt[0], nxt[1])
 
         cfg = DetectionConfig(
             resolution=res_eff, distance_bp=dist_bp, pt=args.pt, st=args.st,
@@ -349,6 +379,8 @@ def main(argv=None):
                 out.write(rows)
         start_time = time.time()
 
+    if prefetch is not None:
+        prefetch.shutdown(wait=False)
     unit_order = [str(c) if c == c2 else f"{c}__x__{c2}"
                   for c, c2 in zip(chr_list, chr_list2)]
     if nprocs > 1:

@@ -59,20 +59,41 @@ def main(argv=None):
         print("Error: Couldn't find the specified bias file2")
         return 1
 
-    for i, (chromosome, chromosome2) in enumerate(zip(chr_list, chr_list2)):
+    def ingest_one(chromosome, chromosome2):
+        chrm_size = False
+        if chrSize_in_bp:
+            chrm_size = chrSize_in_bp.get(
+                "chr" + normalize_chrom(chromosome), False)
+        a = load_contacts(f1, args.norm_method, chrm_size, dist_bp,
+                          chromosome, chromosome2, res, biasf1)
+        b = load_contacts(f2, args.norm_method, chrm_size, dist_bp,
+                          chromosome, chromosome2, res, biasf2)
+        return a, b
+
+    # cross-chromosome software pipelining (see cli.main): chromosome
+    # k+1's two-file decode overlaps chromosome k's device compute
+    pairs = list(zip(chr_list, chr_list2))
+    prefetch = None
+    if not getattr(args, "no_prefetch", False) and len(pairs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        prefetch = ThreadPoolExecutor(max_workers=1)
+    pending = None
+
+    for i, (chromosome, chromosome2) in enumerate(pairs):
         if chromosome != chromosome2:
             print("Interchromosomal analysis is not supported.")
             return 1
-        chrm_size = False
-        if chrSize_in_bp:
-            chrm_size = chrSize_in_bp.get("chr" + normalize_chrom(chromosome), False)
 
-        x1, y1, v1, res_eff = load_contacts(
-            f1, args.norm_method, chrm_size, dist_bp, chromosome, chromosome2,
-            res, biasf1)
-        x2, y2, v2, res2 = load_contacts(
-            f2, args.norm_method, chrm_size, dist_bp, chromosome, chromosome2,
-            res, biasf2)
+        if pending is not None:
+            (x1, y1, v1, res_eff), (x2, y2, v2, res2) = pending.result()
+        else:
+            (x1, y1, v1, res_eff), (x2, y2, v2, res2) = \
+                ingest_one(chromosome, chromosome2)
+        pending = None
+        if prefetch is not None and i + 1 < len(pairs):
+            nxt = pairs[i + 1]
+            if nxt[0] == nxt[1]:  # the gate above rejects mixed pairs
+                pending = prefetch.submit(ingest_one, nxt[0], nxt[1])
         if f1.endswith(".cool") and f2.endswith(".cool") and res_eff != res2:
             raise ValueError("Both contact maps should have the same resolution.")
 
@@ -107,6 +128,8 @@ def main(argv=None):
               f"chrmosome={chromosome} for detection-fdr<{args.pt} and "
               f"difference-fdr<{args.pt2} in {time.time()-start_time:.2f}sec")
         start_time = time.time()
+    if prefetch is not None:
+        prefetch.shutdown(wait=False)
     return 0
 
 

@@ -107,6 +107,11 @@ class CoolFile:
             column = "weight" if balance is True else str(balance)
             w = self.weights(chrom, column)
             v = v * w[b1] * w[b2]
+        # deliberate deviation: the reference's bare nan_to_num
+        # (mustache.py:428) maps +-inf to +-DBL_MAX, letting an inf-scaled
+        # count through the positivity filter as an absurd value; cooler
+        # balance weights are NaN (never inf) for masked bins, so inf here
+        # can only mean corrupt input — scrub it to 0 instead.
         v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
         pos = v > 0
         return b1[pos], b2[pos], v[pos]
@@ -140,6 +145,11 @@ class CoolFile:
             v = v * self.weights(a, column)[x] * self.weights(b, column)[y]
         if flip:
             x, y = y, x
+        # deliberate deviation: the reference's bare nan_to_num
+        # (mustache.py:428) maps +-inf to +-DBL_MAX, letting an inf-scaled
+        # count through the positivity filter as an absurd value; cooler
+        # balance weights are NaN (never inf) for masked bins, so inf here
+        # can only mean corrupt input — scrub it to 0 instead.
         v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
         pos = v > 0
         return x[pos], y[pos], v[pos]

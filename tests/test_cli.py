@@ -45,6 +45,28 @@ def test_cli_end_to_end(contact_file, tmp_path):
     assert hits >= 0.8 * len(called)
 
 
+def test_cli_prefetch_matches_sequential(tmp_path):
+    """The one-chromosome ingest lookahead must not change any output row
+    (two-chromosome text run, prefetch on vs --engine-no-prefetch)."""
+    res = 5000
+    path = tmp_path / "two.txt"
+    with open(path, "w") as fh:
+        for chrom, seed in (("chr20", 7), ("chr21", 8)):
+            x, y, v, _ = synthetic_hic(1200, 150, seed=seed, n_loops=20)
+            for a, b, c in zip(x, y, v):
+                fh.write(f"{chrom}\t{a*res}\t{chrom}\t{b*res}\t{c}\n")
+    outs = []
+    for extra in ([], ["--engine-no-prefetch"]):
+        out = str(tmp_path / f"loops{len(extra)}.tsv")
+        rc = main(["-f", str(path), "-ch", "20", "21", "-r", "5kb",
+                   "-o", out, "-d", "750kb", "-pt", "0.2", "-st", "0.6"]
+                  + extra)
+        assert rc == 0
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    assert len(outs[0].splitlines()) > 2
+
+
 def test_cli_missing_file(tmp_path, capsys):
     rc = main(["-f", "/nonexistent", "-ch", "21", "-r", "5kb",
                "-o", str(tmp_path / "o.tsv")])

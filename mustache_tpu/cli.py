@@ -129,6 +129,12 @@ def build_parser(diff: bool = False) -> argparse.ArgumentParser:
                    help="Disable the one-chromosome ingest lookahead "
                         "(by default the next chromosome's file decode "
                         "overlaps the current chromosome's detection).")
+    p.add_argument("--engine-ingest-retries", dest="ingest_retries",
+                   type=int, default=2,
+                   help="Retries per chromosome on ingest errors before "
+                        "the chromosome is recorded as failed and skipped "
+                        "(the run continues; rerun with --engine-resume "
+                        "to retry failed chromosomes).")
     # multi-host execution (replaces the reference's sequential
     # per-chromosome loop, mustache.py:1057-1080, with a chromosome shard
     # per process; jax.distributed + process-0 assembly)
@@ -301,12 +307,24 @@ def main(argv=None):
                   chromosomes=[str(c) for c, _ in pairs])
 
     def ingest_one(chromosome, chromosome2):
-        chrm_size = False
-        if chrSize_in_bp:
-            chrm_size = chrSize_in_bp.get(
-                "chr" + normalize_chrom(chromosome), False)
-        return load_contacts(f, args.norm_method, chrm_size, dist_bp,
-                             chromosome, chromosome2, res, biasf)
+        from mustache_tpu.faults import maybe_fail
+
+        attempts = max(0, args.ingest_retries) + 1
+        for attempt in range(attempts):
+            try:
+                maybe_fail("ingest", chromosome=str(chromosome))
+                chrm_size = False
+                if chrSize_in_bp:
+                    chrm_size = chrSize_in_bp.get(
+                        "chr" + normalize_chrom(chromosome), False)
+                return load_contacts(f, args.norm_method, chrm_size, dist_bp,
+                                     chromosome, chromosome2, res, biasf)
+            except Exception as exc:
+                if attempt + 1 == attempts:
+                    raise
+                log.event("ingest_retry", chromosome=str(chromosome),
+                          attempt=attempt + 1, error=str(exc))
+                time.sleep(0.1 * (2 ** attempt))
 
     todo = []
     for chromosome, chromosome2 in pairs:
@@ -326,6 +344,7 @@ def main(argv=None):
         from concurrent.futures import ThreadPoolExecutor
         prefetch = ThreadPoolExecutor(max_workers=1)
     pending = None
+    failed_units: list[str] = []
 
     for i, (chromosome, chromosome2, unit_name) in enumerate(todo):
         inter = chromosome != chromosome2
@@ -336,36 +355,54 @@ def main(argv=None):
                   "and .cool input formats.")
             return 1
 
+        ingest_err = None
         with log.phase("ingest", chromosome=str(chromosome),
                        prefetched=pending is not None):
-            if pending is not None:
-                x, y, v, res_eff = pending.result()
-            else:
-                x, y, v, res_eff = ingest_one(chromosome, chromosome2)
+            try:
+                if pending is not None:
+                    x, y, v, res_eff = pending.result()
+                else:
+                    x, y, v, res_eff = ingest_one(chromosome, chromosome2)
+            except Exception as exc:  # retries exhausted inside ingest_one
+                ingest_err = exc
         pending = None
         if prefetch is not None and i + 1 < len(todo):
             nxt = todo[i + 1]
             pending = prefetch.submit(ingest_one, nxt[0], nxt[1])
+        if ingest_err is not None:
+            # elastic recovery: the chromosome is the unit of restart —
+            # record the failure, keep the run alive, let a later
+            # --engine-resume rerun retry exactly this unit
+            log.event("unit_failed", unit=unit_name, stage="ingest",
+                      error=str(ingest_err))
+            failed_units.append(unit_name)
+            continue
 
         cfg = DetectionConfig(
             resolution=res_eff, distance_bp=dist_bp, pt=args.pt, st=args.st,
             sigma0=args.s_z, octaves=args.octaves, precision=args.precision,
             block_batch=args.block_batch,
         )
-        with log.phase("detect", chromosome=str(chromosome),
-                       contacts=len(v)):
-            if not len(v):
-                loops = []
-            elif inter:
-                # beyond-reference: working inter-chromosomal detection
-                # (the reference's path crashes, mustache.py:689-694)
-                from mustache_tpu.inter import detect_inter_loops_coo
-                from mustache_tpu.pipeline import Loop
-                rows_i = detect_inter_loops_coo(x, y, v, cfg)
-                loops = [Loop(int(r[0]), int(r[1]), float(r[2]),
-                              float(r[3])) for r in rows_i]
-            else:
-                loops = detect_loops_coo(x, y, v, cfg)
+        try:
+            with log.phase("detect", chromosome=str(chromosome),
+                           contacts=len(v)):
+                if not len(v):
+                    loops = []
+                elif inter:
+                    # beyond-reference: working inter-chromosomal detection
+                    # (the reference's path crashes, mustache.py:689-694)
+                    from mustache_tpu.inter import detect_inter_loops_coo
+                    from mustache_tpu.pipeline import Loop
+                    rows_i = detect_inter_loops_coo(x, y, v, cfg)
+                    loops = [Loop(int(r[0]), int(r[1]), float(r[2]),
+                                  float(r[3])) for r in rows_i]
+                else:
+                    loops = detect_loops_coo(x, y, v, cfg)
+        except Exception as exc:
+            log.event("unit_failed", unit=unit_name, stage="detect",
+                      error=str(exc))
+            failed_units.append(unit_name)
+            continue
 
         rows = "".join(lp.to_row(chromosome, chromosome2, res_eff)
                        for lp in loops)
@@ -395,6 +432,12 @@ def main(argv=None):
     if args.profile_dir:
         import jax
         jax.profiler.stop_trace()
+    if failed_units:
+        print("Error: {0} chromosome(s) failed after retries: {1}{2}".format(
+            len(failed_units), ", ".join(failed_units),
+            " (rerun with --engine-resume to retry exactly these)"
+            if manifest else ""))
+        return 1
     return 0
 
 

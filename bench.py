@@ -85,6 +85,20 @@ def _setup_jax_cache():
     return jax
 
 
+def _backend_alive(timeout=240) -> bool:
+    """Probe the default backend in a subprocess. A dead TPU tunnel hangs
+    device init forever; bench must always print its JSON lines, so an
+    unreachable backend downgrades the run to CPU instead of hanging."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _measure(tag, x, y, v, cfg, mb, warm_runs):
     import jax
     from mustache_tpu.pipeline import detect_loops_coo
@@ -182,7 +196,13 @@ def _measure_diff_baseline(x1, y1, v1, x2, y2, v2, cfg, mb, d_px):
 
 
 def main():
-    _setup_jax_cache()
+    jax = _setup_jax_cache()
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
+            and not _backend_alive():
+        print("# WARNING: default backend unreachable (tunnel down?); "
+              "falling back to CPU — numbers below are NOT chip numbers",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     from mustache_tpu.config import DetectionConfig
 
     base = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \

@@ -210,9 +210,17 @@ def _chromosome_lists(args, f, res):
 
 
 def load_contacts(f, norm_method, chrm_size, distance_bp, chromosome,
-                  chromosome2, res, biasfile):
-    """Format dispatch (mustache.py:879-886). Returns (x, y, v, res)."""
-    if f.endswith(".hic"):
+                  chromosome2, res, biasfile, bed=""):
+    """Format dispatch (mustache.py:879-886). Returns (x, y, v, res).
+
+    ``bed`` non-empty routes to the working HiC-Pro reader (the reference
+    accepts -bed/-m but ignores the bed and misparses the matrix,
+    mustache.py:969-970 + :282-288 — beyond-reference fix)."""
+    if bed:
+        from mustache_tpu.io.hicpro import read_hicpro
+        bias = read_bias(biasfile, chromosome, res)
+        x, y, v = read_hicpro(f, bed, distance_bp, bias, chromosome, res)
+    elif f.endswith(".hic"):
         from mustache_tpu.io.hic import read_hic_file
         x, y, v = read_hic_file(
             f, norm_method, chrm_size, distance_bp, chromosome, chromosome2, res)
@@ -318,7 +326,8 @@ def main(argv=None):
                     chrm_size = chrSize_in_bp.get(
                         "chr" + normalize_chrom(chromosome), False)
                 return load_contacts(f, args.norm_method, chrm_size, dist_bp,
-                                     chromosome, chromosome2, res, biasf)
+                                     chromosome, chromosome2, res, biasf,
+                                     bed=args.bed if args.mat else "")
             except Exception as exc:
                 if attempt + 1 == attempts:
                     raise

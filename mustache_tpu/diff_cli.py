@@ -65,9 +65,11 @@ def main(argv=None):
             chrm_size = chrSize_in_bp.get(
                 "chr" + normalize_chrom(chromosome), False)
         a = load_contacts(f1, args.norm_method, chrm_size, dist_bp,
-                          chromosome, chromosome2, res, biasf1)
+                          chromosome, chromosome2, res, biasf1,
+                          bed=args.bed1 if args.mat1 else "")
         b = load_contacts(f2, args.norm_method, chrm_size, dist_bp,
-                          chromosome, chromosome2, res, biasf2)
+                          chromosome, chromosome2, res, biasf2,
+                          bed=args.bed2 if args.mat2 else "")
         return a, b
 
     # cross-chromosome software pipelining (see cli.main): chromosome

@@ -24,10 +24,13 @@ def parse_args(argv):
 
 
 def main(argv=None):
-    from mustache_tpu.runtime import enable_compilation_cache
-    enable_compilation_cache()
     start_time = time.time()
     args = parse_args(sys.argv[1:] if argv is None else argv)
+    if getattr(args, "platform", ""):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from mustache_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     print("\n")
 
     f1, f2 = args.f_path1, args.f_path2
@@ -60,17 +63,27 @@ def main(argv=None):
         return 1
 
     def ingest_one(chromosome, chromosome2):
-        chrm_size = False
-        if chrSize_in_bp:
-            chrm_size = chrSize_in_bp.get(
-                "chr" + normalize_chrom(chromosome), False)
-        a = load_contacts(f1, args.norm_method, chrm_size, dist_bp,
-                          chromosome, chromosome2, res, biasf1,
-                          bed=args.bed1 if args.mat1 else "")
-        b = load_contacts(f2, args.norm_method, chrm_size, dist_bp,
-                          chromosome, chromosome2, res, biasf2,
-                          bed=args.bed2 if args.mat2 else "")
-        return a, b
+        from mustache_tpu.faults import maybe_fail
+
+        attempts = max(0, getattr(args, "ingest_retries", 2)) + 1
+        for attempt in range(attempts):
+            try:
+                maybe_fail("ingest", chromosome=str(chromosome))
+                chrm_size = False
+                if chrSize_in_bp:
+                    chrm_size = chrSize_in_bp.get(
+                        "chr" + normalize_chrom(chromosome), False)
+                a = load_contacts(f1, args.norm_method, chrm_size, dist_bp,
+                                  chromosome, chromosome2, res, biasf1,
+                                  bed=args.bed1 if args.mat1 else "")
+                b = load_contacts(f2, args.norm_method, chrm_size, dist_bp,
+                                  chromosome, chromosome2, res, biasf2,
+                                  bed=args.bed2 if args.mat2 else "")
+                return a, b
+            except Exception:
+                if attempt + 1 == attempts:
+                    raise
+                time.sleep(0.1 * (2 ** attempt))
 
     # cross-chromosome software pipelining (see cli.main): chromosome
     # k+1's two-file decode overlaps chromosome k's device compute
@@ -81,21 +94,32 @@ def main(argv=None):
         prefetch = ThreadPoolExecutor(max_workers=1)
     pending = None
 
+    failed_units = []
+    wrote_header = False
     for i, (chromosome, chromosome2) in enumerate(pairs):
         if chromosome != chromosome2:
             print("Interchromosomal analysis is not supported.")
             return 1
 
-        if pending is not None:
-            (x1, y1, v1, res_eff), (x2, y2, v2, res2) = pending.result()
-        else:
-            (x1, y1, v1, res_eff), (x2, y2, v2, res2) = \
-                ingest_one(chromosome, chromosome2)
+        ingest_err = None
+        try:
+            if pending is not None:
+                (x1, y1, v1, res_eff), (x2, y2, v2, res2) = pending.result()
+            else:
+                (x1, y1, v1, res_eff), (x2, y2, v2, res2) = \
+                    ingest_one(chromosome, chromosome2)
+        except Exception as exc:  # retries exhausted inside ingest_one
+            ingest_err = exc
         pending = None
         if prefetch is not None and i + 1 < len(pairs):
             nxt = pairs[i + 1]
             if nxt[0] == nxt[1]:  # the gate above rejects mixed pairs
                 pending = prefetch.submit(ingest_one, nxt[0], nxt[1])
+        if ingest_err is not None:
+            print(f"Error: chromosome {chromosome} failed after retries: "
+                  f"{ingest_err}")
+            failed_units.append(str(chromosome))
+            continue
         if f1.endswith(".cool") and f2.endswith(".cool") and res_eff != res2:
             raise ValueError("Both contact maps should have the same resolution.")
 
@@ -107,7 +131,8 @@ def main(argv=None):
         rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg) \
             if len(v1) and len(v2) else []
 
-        if i == 0:
+        if not wrote_header:
+            wrote_header = True
             for sfx in SUFFIXES.values():
                 with open(args.outdir + sfx, "w") as out:
                     out.write(HEADER)
@@ -132,6 +157,10 @@ def main(argv=None):
         start_time = time.time()
     if prefetch is not None:
         prefetch.shutdown(wait=False)
+    if failed_units:
+        print("Error: {0} chromosome(s) failed after retries: {1}".format(
+            len(failed_units), ", ".join(failed_units)))
+        return 1
     return 0
 
 

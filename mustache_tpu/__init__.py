@@ -15,10 +15,20 @@ from mustache_tpu._version import __version__
 from mustache_tpu.config import DetectionConfig, parse_bp
 from mustache_tpu.pipeline import find_loops, Loop
 
+
+def find_diff_loops(*args, **kwargs):
+    """Lazy re-export of :func:`mustache_tpu.diff.find_diff_loops` (the
+    diff module pulls in the detection stack; keep base import light)."""
+    from mustache_tpu.diff import find_diff_loops as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "__version__",
     "DetectionConfig",
     "parse_bp",
     "find_loops",
+    "find_diff_loops",
     "Loop",
 ]

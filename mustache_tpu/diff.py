@@ -367,6 +367,28 @@ def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig,
     return rerun(1 << (sig - 1).bit_length())
 
 
+def find_diff_loops(x1, y1, v1, x2, y2, v2, *, resolution: int = 5000,
+                    distance_bp: int = 2_000_000, pt: float = 0.2,
+                    pt2: float = 0.1, st: float = 0.88,
+                    sigma0: float = 1.6, octaves: int = 2,
+                    precision: str = "float32", normalize: bool = True):
+    """One-call differential API (twin of :func:`mustache_tpu.find_loops`):
+    two COO contact maps in, list of ``(bin1, bin2, q, scale, tag)`` out
+    with tag 1=loop1, 2=diffloop1, 3=loop2, 4=diffloop2
+    (diff_mustache.py:704-715)."""
+    from mustache_tpu.config import clamp_distance_filter
+
+    cfg = DetectionConfig(
+        resolution=resolution,
+        distance_bp=clamp_distance_filter(distance_bp, resolution,
+                                          diff=True),
+        pt=pt, pt2=pt2, st=st, sigma0=sigma0, octaves=octaves,
+        precision=precision,
+    )
+    return detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg,
+                                 normalize=normalize)
+
+
 def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
                           normalize: bool = True, exact_normalize: bool = False,
                           runner=None):

@@ -88,3 +88,18 @@ def test_diff_empty_inputs():
     cfg = DetectionConfig(resolution=5000, distance_bp=600_000)
     e = np.array([], np.int64)
     assert detect_diff_loops_coo(e, e, np.array([]), e, e, np.array([]), cfg) == []
+
+
+def test_find_diff_loops_api():
+    """Public one-call API mirrors detect_diff_loops_coo with clamping."""
+    import mustache_tpu
+    from synthetic import synthetic_hic
+
+    x1, y1, v1, _ = synthetic_hic(900, 120, seed=91, n_loops=15)
+    x2, y2, v2, _ = synthetic_hic(900, 120, seed=92, n_loops=15)
+    rows = mustache_tpu.find_diff_loops(
+        x1, y1, v1.copy(), x2, y2, v2.copy(),
+        resolution=5000, distance_bp=600_000, pt=0.2, pt2=0.2, st=0.6)
+    assert len(rows) > 0
+    assert {r[4] for r in rows} <= {1, 2, 3, 4}
+    assert all(len(r) == 5 for r in rows)

@@ -359,10 +359,16 @@ def main(argv=None):
         inter = chromosome != chromosome2
         if inter and not (f.endswith(".hic") or f.endswith(".cool")
                           or f.endswith(".mcool")):
-            # reference gate (mustache.py:869-871)
+            # reference gate (mustache.py:869-871). Recorded as a failed
+            # unit rather than an early return: in a multi-host run a
+            # mid-loop return would leave the other processes hanging at
+            # the parts-complete barrier below.
             print("Interchromosomal analysis is only supported for .hic "
                   "and .cool input formats.")
-            return 1
+            log.event("unit_failed", unit=unit_name, stage="gate",
+                      error="inter-chromosomal needs .hic/.cool input")
+            failed_units.append(unit_name)
+            continue
 
         ingest_err = None
         with log.phase("ingest", chromosome=str(chromosome),

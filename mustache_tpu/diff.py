@@ -249,7 +249,7 @@ def build_diff_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
 # host finish
 # ---------------------------------------------------------------------------
 
-def _finish_map(out, tag, *, start, spec, include_enrich_gate):
+def _finish_map(out, tag, *, start, spec):
     """Cluster one condition's surviving candidates; returns rows with the
     pair/v values needed for the differential call, or None when this map's
     bail-outs fire."""
@@ -308,10 +308,8 @@ def finish_diff_block(out: dict, *, start: int, cfg: DetectionConfig,
             int(out["nz2_count"]) < cfg.min_tested:
         return empty
 
-    pass1, rows1 = _finish_map(out, "1", start=start, spec=spec,
-                               include_enrich_gate=True)
-    pass2, rows2 = _finish_map(out, "2", start=start, spec=spec,
-                               include_enrich_gate=True)
+    pass1, rows1 = _finish_map(out, "1", start=start, spec=spec)
+    pass2, rows2 = _finish_map(out, "2", start=start, spec=spec)
     # joint bail-outs (diff_mustache.py:507-508, :519, :526)
     if pass1 is None or pass2 is None:
         return empty

@@ -153,7 +153,11 @@ def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
     s2 = 2 * s1
     c2 = (_rect_box_counts(ii, cx, cy, s2, N1, N2).astype(dtype)
           / ((2 * s2 + 1) ** 2).astype(dtype))
-    pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
+    # no cx != 0 exclusion here: the intra core drops x == 0 candidates
+    # only because the reference's c[x-s1:x+s1+1] slice goes negative at
+    # the diagonal corner (mustache.py:800); the rectangle has no diagonal
+    # and _rect_box_counts clamps at the edges, so row 0 is a valid anchor
+    pass_sparse = ~((c1 < st) | (c2 < 0.6))
     cand_pass = cand_valid & pass_sparse
 
     # 8-neighborhood q/scale export for host clustering: tested neighbors
@@ -244,6 +248,10 @@ def _grid_1d(n: int, chunk: int, ov: int):
     (same construction as the intra grid, mustache.py:896-910)."""
     if n <= chunk:
         return [0], [n]
+    if chunk <= ov:
+        raise ValueError(
+            f"tile size {chunk} must exceed the overlap {ov} "
+            f"(the grid cannot advance)")
     start, end = [0], [chunk]
     while end[-1] < n:
         start.append(end[-1] - ov)

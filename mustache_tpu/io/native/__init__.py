@@ -76,20 +76,6 @@ def _load():
         ctypes.c_int64,
         ctypes.c_int32,
     ]
-    lib.mtpu_normalize_band.restype = ctypes.c_int
-    lib.mtpu_normalize_band.argtypes = [
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        ctypes.c_int64,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-        ctypes.c_int32,
-    ]
     _lib = lib
     return _lib
 
@@ -180,26 +166,3 @@ def fill_band(x, y, v, band_out, n_threads=8) -> bool:
     if rc != 0:
         raise RuntimeError(f"native fill_band failed (rc={rc})")
     return True
-
-
-def normalize_band(xs_sorted, vs_sorted, row_off, n_bins, Dv, F, g_mean,
-                   g_std, weights, n_threads=4):
-    """Native per-diagonal windowed z-score; returns z per entry or None
-    when the library is unavailable. Entries must be grouped by diagonal
-    (row_off[d]..row_off[d+1]) in original order within each group."""
-    lib = _load()
-    if lib is None:
-        return None
-    z = np.empty(len(vs_sorted), np.float64)
-    rc = lib.mtpu_normalize_band(
-        np.ascontiguousarray(xs_sorted, np.int64),
-        np.ascontiguousarray(vs_sorted, np.float64),
-        np.ascontiguousarray(row_off, np.int64),
-        int(n_bins), int(Dv), int(F),
-        np.ascontiguousarray(g_mean, np.float64),
-        np.ascontiguousarray(g_std, np.float64),
-        np.ascontiguousarray(weights, np.float64),
-        z, int(n_threads))
-    if rc != 0:
-        raise RuntimeError(f"native normalize failed (rc={rc})")
-    return z

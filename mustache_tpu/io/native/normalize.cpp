@@ -18,26 +18,13 @@
 
 namespace {
 
-struct Args {
-  const int64_t* xs;        // entry x (bin), grouped by diagonal
-  const double* vs;         // entry value (bias-corrected count)
-  const int64_t* row_off;   // [Dv+1] entry range per diagonal
-  int64_t n_bins;
-  int32_t Dv;
-  int32_t F;
-  const double* g_mean;     // [Dv] global per-diagonal fallbacks
-  const double* g_std;
-  const double* weights;    // [Dv] 1 + log30(1+mean)
-  double* z_out;            // [n_entries]
-};
-
 // Indirect variant: entries stay in caller order; `order` maps the
 // diagonal-grouped position to the original entry index, z is written back
 // in place of v, and (optionally) into a zeroed f32 band buffer
 // band[x * ldb + d] for the device transfer layout.
 struct CooArgs {
-  const int64_t* xs;
-  const int64_t* ds;        // y - x per entry
+  const int64_t* xs;        // position along the diagonal: min(x, y)
+  const int64_t* ds;        // |y - x| per entry
   double* v;                // in-out: raw value -> z
   const int64_t* order;     // grouped position -> original entry index
   const int64_t* row_off;   // [Dv+1]
@@ -99,54 +86,6 @@ void process_diag_coo(const CooArgs& a, int32_t d) {
   }
 }
 
-void process_diag(const Args& a, int32_t d) {
-  const int64_t m = a.n_bins - d;
-  if (m <= 0) return;
-  const int64_t e0 = a.row_off[d], e1 = a.row_off[d + 1];
-  if (e0 == e1) return;
-
-  std::vector<double> vals(m, 0.0);
-  for (int64_t e = e0; e < e1; ++e) {
-    vals[a.xs[e]] = a.vs[e] + 0.001;   // last write wins, like numpy fancy
-  }
-
-  // prefix sums of occupancy, value, value^2
-  std::vector<double> c0(m + 1, 0.0), c1(m + 1, 0.0), c2(m + 1, 0.0);
-  for (int64_t i = 0; i < m; ++i) {
-    const double val = vals[i];
-    c0[i + 1] = c0[i] + (val != 0.0 ? 1.0 : 0.0);
-    c1[i + 1] = c1[i] + val;
-    c2[i + 1] = c2[i] + val * val;
-  }
-
-  const double gm = a.g_mean[d];
-  const double gs2 = a.g_std[d] * a.g_std[d];
-  const double w = a.weights[d];
-  const int64_t F = a.F;
-  // numpy convolve 'same': out[i] = sum(row[i+off-F+1 : i+off+1]),
-  // off = (min(m, F) - 1) // 2
-  const int64_t off = (std::min<int64_t>(m, F) - 1) / 2;
-
-  for (int64_t e = e0; e < e1; ++e) {
-    const int64_t i = a.xs[e];
-    const int64_t lo = std::max<int64_t>(0, i + off - F + 1);
-    const int64_t hi = std::min<int64_t>(m, i + off + 1);
-    const double cnt = c0[hi] - c0[lo];
-    const double s1 = c1[hi] - c1[lo];
-    const double s2 = c2[hi] - c2[lo];
-
-    double lv = (s2 - s1 * s1 / cnt) / (cnt - 1.0);
-    double lm = s1 / cnt;
-    if (!std::isfinite(lv)) lv = gs2;
-    if (cnt < 30.0) { lm = gm; lv = gs2; }
-    if (!std::isfinite(lm)) lm = gm;
-
-    double z = (vals[i] - lm) / std::sqrt(lv);
-    if (!std::isfinite(z)) z = 0.0;
-    a.z_out[e] = z * w;
-  }
-}
-
 }  // namespace
 
 extern "C" {
@@ -163,11 +102,19 @@ int mtpu_normalize_coo(const int64_t* xs, const int64_t* ys, double* v,
                        int32_t F, double* weights_out, float* band_out,
                        int64_t ldb, int64_t* n_skipped, int32_t n_threads) {
   if (Dv <= 0 || n_entries < 0) return -1;
+  // pos = min(x, y): lower-triangle input is treated as its mirrored
+  // upper-triangle cell (the map is symmetric); entries outside the
+  // [0, n_bins) square are counted skipped, never indexed (the per-diagonal
+  // vector has only n_bins - d slots — raw x would run off the heap).
   std::vector<int64_t> ds(n_entries);
+  std::vector<int64_t> pos_lo(n_entries);
   std::vector<int64_t> cnt(Dv, 0);
   for (int64_t e = 0; e < n_entries; ++e) {
-    const int64_t d = std::llabs(ys[e] - xs[e]);
+    const int64_t lo = std::min(xs[e], ys[e]);
+    const int64_t hi = std::max(xs[e], ys[e]);
+    const int64_t d = (lo < 0 || hi >= n_bins) ? Dv : hi - lo;
     ds[e] = d;
+    pos_lo[e] = lo;
     if (d < Dv) ++cnt[d];
   }
 
@@ -212,7 +159,7 @@ int mtpu_normalize_coo(const int64_t* xs, const int64_t* ys, double* v,
     }
   }
 
-  CooArgs a{xs,          ds.data(),      v,
+  CooArgs a{pos_lo.data(), ds.data(),    v,
             order.data(), row_off.data(), n_bins,
             Dv,          F,              g_mean.data(),
             g_std.data(), weights_out,   band_out,
@@ -275,31 +222,6 @@ int mtpu_fill_band(const void* xs, const void* ys, int32_t xy_is64,
     const int64_t e1 = std::min(n_entries, e0 + chunk);
     if (e0 >= e1) break;
     pool.emplace_back(run, e0, e1);
-  }
-  for (auto& th : pool) th.join();
-  return 0;
-}
-
-int mtpu_normalize_band(const int64_t* xs, const double* vs,
-                        const int64_t* row_off, int64_t n_bins, int32_t Dv,
-                        int32_t F, const double* g_mean, const double* g_std,
-                        const double* weights, double* z_out,
-                        int32_t n_threads) {
-  Args a{xs, vs, row_off, n_bins, Dv, F, g_mean, g_std, weights, z_out};
-  if (n_threads <= 1 || Dv < 4) {
-    for (int32_t d = 0; d < Dv; ++d) process_diag(a, d);
-    return 0;
-  }
-  std::atomic<int32_t> next{0};
-  std::vector<std::thread> pool;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    pool.emplace_back([&]() {
-      while (true) {
-        const int32_t d = next.fetch_add(1);
-        if (d >= Dv) break;
-        process_diag(a, d);
-      }
-    });
   }
   for (auto& th : pool) th.join();
   return 0;

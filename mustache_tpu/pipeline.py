@@ -163,10 +163,10 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         normalize_sparse(x, y, v, cfg.resolution, d_px, exact=exact_normalize,
                          work_dtype=work, band_out=fuse, n=n)
         if band is not None and fuse is None:
-            sel = (y - x) < band.shape[1]
+            sel = (y - x >= 0) & ((y - x) < band.shape[1])
             band[x[sel], (y - x)[sel]] = v[sel]
     elif band is not None:
-        sel = (y - x) < band.shape[1]
+        sel = (y - x >= 0) & ((y - x) < band.shape[1])
         band[x[sel], (y - x)[sel]] = v[sel]
 
     start, end = chunk_grid(n, chunk, d_px)

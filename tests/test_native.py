@@ -82,3 +82,30 @@ def test_fill_band_matches_numpy(idt, vdt):
     got = np.zeros((n, Dl), np.float32)
     assert native.fill_band(x, y, v, got)
     np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_normalize_coo_lower_triangle_safe():
+    """Lower-triangle / out-of-range entries must not corrupt memory:
+    (x, y) swapped input normalizes identically to upper-tri input
+    (mirror semantics), and out-of-square entries are counted skipped."""
+    x, y, v, _ = synthetic_hic(800, 100, seed=7)
+    n = 800
+
+    v_up = np.ascontiguousarray(v, np.float64)
+    w_up, sk_up = native.normalize_coo(x, y, v_up, n, 100, 400)
+
+    v_sw = np.ascontiguousarray(v, np.float64)
+    w_sw, sk_sw = native.normalize_coo(
+        np.ascontiguousarray(y), np.ascontiguousarray(x), v_sw, n, 100, 400)
+    np.testing.assert_allclose(v_sw, v_up, rtol=1e-12)
+    assert sk_up == sk_sw == np.count_nonzero(np.abs(y - x) >= 100)
+
+    # entries outside the [0, n) square: skipped, values untouched
+    xb = np.array([-5, 790], np.int64)
+    yb = np.array([2, 805], np.int64)
+    vb = np.array([3.0, 4.0])
+    vv = np.ascontiguousarray(vb, np.float64)
+    _, sk = native.normalize_coo(xb, yb, vv, n, 100, 400)
+    assert sk == 2
+    np.testing.assert_array_equal(vv, vb)

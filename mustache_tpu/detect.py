@@ -571,6 +571,13 @@ def _resolve_pallas(cfg: DetectionConfig) -> bool:
         return False
     if cfg.precision != "float32":
         return False
+    # the fused kernel packs per-plane (min, sum) partials into one
+    # 128-lane vector (fused_ladder._fused_kernel): 2 * n_planes lanes,
+    # 9 tested planes per octave — gate conservatively at 10/octave so
+    # absurd octave counts fall back to the XLA path instead of silently
+    # dropping partials past lane 127
+    if 2 * cfg.octaves * 10 > 128:
+        return False
     if cfg.use_pallas == "on":
         return True
     # "auto": the fused kernel wins on TPU (3.5x at N=2000/d=400, 2.5x at

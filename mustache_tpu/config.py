@@ -114,6 +114,11 @@ def chunk_grid(n: int, chunk: int, overlap: int) -> tuple[list[int], list[int]]:
     """
     if n <= chunk:
         return [0], [n]
+    if chunk <= overlap:
+        raise ValueError(
+            f"chunk {chunk} must exceed the overlap {overlap} "
+            f"(the grid cannot advance); DetectionConfig.chunk_size "
+            f"guarantees this (max(2*d_px, 2000))")
     start = [0]
     end = [chunk]
     while end[-1] < n:

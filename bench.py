@@ -73,6 +73,55 @@ def build_workload_1kb():
                             loop_strength=3.0, density=0.95)
 
 
+CHR12_BINS = 26671         # chr12: 133.35 Mb at 5kb (BASELINE config 2)
+CHR12_MB = 133.35
+
+
+def _cool_workload():
+    """Synthetic chr12-scale .cool file (BASELINE config 2 shape): the
+    metric includes the HDF5 ingest, measuring the end-to-end path a
+    cooler user sees."""
+    cache_dir = os.path.expanduser("~/.cache/mustache_tpu/bench_v1")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"cool_{CHR12_BINS}_{D_PX}.cool")
+    if not os.path.exists(path):
+        from test_cool import build_cool
+
+        x, y, v = _cached_workload(CHR12_BINS, D_PX, seed=1203, n_loops=600,
+                                   loop_strength=3.0)
+        tmp = path + ".tmp"
+        build_cool(tmp, [("chr12", CHR12_BINS * 5000)], 5000,
+                   {"chr12": (x, y, v)})
+        os.replace(tmp, path)
+    return path
+
+
+def _measure_cool(cfg, warm_runs):
+    """End-to-end .cool metric: HDF5 band fetch + full detection."""
+    import jax
+    from mustache_tpu.io.cool import read_cooler
+    from mustache_tpu.pipeline import detect_loops_coo
+
+    path = _cool_workload()
+
+    def run():
+        x, y, v, res = read_cooler(path, 2_000_000, "chr12", "chr12", False)
+        return detect_loops_coo(x, y, v, cfg)
+
+    t0 = time.time()
+    loops = run()
+    cold = time.time() - t0
+    warms = []
+    for _ in range(warm_runs):
+        t0 = time.time()
+        loops = run()
+        warms.append(time.time() - t0)
+    print(f"# engine .cool chr12 5kb: {len(loops)} loops; cold {cold:.1f}s "
+          f"warm {'/'.join(f'{w:.2f}' for w in warms)}s "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    return CHR12_MB / min(warms)
+
+
 def _setup_jax_cache():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_mustache"))
@@ -243,6 +292,7 @@ def main():
               "falling back to CPU — numbers below are NOT chip numbers",
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
+    backend = jax.default_backend()
     from mustache_tpu.config import DetectionConfig
 
     base = json.load(open(BASELINE_FILE)) if os.path.exists(BASELINE_FILE) \
@@ -267,6 +317,7 @@ def main():
         "value": round(value_diff, 3),
         "unit": "Mb/s",
         "vs_baseline": round(value_diff / base["mb_per_s_diff"], 2),
+        "backend": backend,
     }))
 
     # ---- 1kb Micro-C-shaped slice (secondary metric, printed first) ------
@@ -283,6 +334,27 @@ def main():
         "value": round(value_1kb, 3),
         "unit": "Mb/s",
         "vs_baseline": round(value_1kb / base["mb_per_s_1kb"], 2),
+        "backend": backend,
+    }))
+
+    # ---- .cool chr12 5kb, ingest-inclusive (config-2 shape) --------------
+    cfg_cool = DetectionConfig(resolution=5000, distance_bp=2_000_000,
+                               pt=0.1, st=0.8, precision="float32")
+    value_cool = _measure_cool(cfg_cool, warm_runs=1)
+    if "mb_per_s_cool" not in base:
+        from mustache_tpu.io.cool import read_cooler
+
+        xg, yg, vg, _ = read_cooler(_cool_workload(), 2_000_000,
+                                    "chr12", "chr12", False)
+        base["mb_per_s_cool"] = _measure_baseline(
+            ".cool chr12", xg, yg, vg, cfg_cool, CHR12_MB, D_PX)
+        updated = True
+    print(json.dumps({
+        "metric": "cool_chr12_5kb_Mb_per_s",
+        "value": round(value_cool, 3),
+        "unit": "Mb/s",
+        "vs_baseline": round(value_cool / base["mb_per_s_cool"], 2),
+        "backend": backend,
     }))
 
     # ---- chr21 5kb (headline metric, LAST line) --------------------------
@@ -306,6 +378,7 @@ def main():
         "value": round(value, 3),
         "unit": "Mb/s",
         "vs_baseline": round(value / base["mb_per_s_4proc"], 2),
+        "backend": backend,
     }))
 
     if updated:
@@ -320,6 +393,7 @@ def main():
         "value": round(value, 3),
         "unit": "Mb/s",
         "vs_baseline": round(value / base["mb_per_s"], 2),
+        "backend": backend,
     }))
 
 

@@ -143,3 +143,55 @@ def test_two_process_cli(tmp_path):
 
     assert multi.read_text() == single.read_text()
     assert len(multi.read_text().splitlines()) > 3   # header + loops
+
+
+@pytest.mark.skipif(os.environ.get("MTPU_SKIP_DISTRIBUTED") == "1",
+                    reason="distributed smoke test disabled")
+def test_two_process_cli_unit_failure_no_hang(tmp_path):
+    """A chromosome failing on one process must not hang the other at the
+    parts-complete barrier: both processes exit, the failing one with
+    code 1, and process 0 assembles the successful chromosomes."""
+    from synthetic import synthetic_hic
+
+    res = 5000
+    contacts = tmp_path / "contacts.txt"
+    with open(contacts, "w") as fh:
+        for ci, ch in enumerate(["c0", "c1", "c2"]):
+            x, y, v, _ = synthetic_hic(800, 100, seed=320 + ci, n_loops=12)
+            for a, b, c in zip(x, y, v):
+                fh.write(f"{ch}\t{a*res}\t{ch}\t{b*res}\t{c}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["MTPU_FAULT_INJECT"] = "ingest:100:c1"   # c1 always fails
+    here = os.path.dirname(__file__)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, here, env.get("PYTHONPATH", "")])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    out = tmp_path / "multi.tsv"
+    base = [sys.executable, "-m", "mustache_tpu", "-f", str(contacts),
+            "-ch", "c0", "c1", "c2", "-r", "5kb", "-pt", "0.1", "-st", "0.8",
+            "-d", str(100 * res), "--engine-platform", "cpu",
+            "--engine-ingest-retries", "0",
+            "-o", str(out), "--engine-coordinator", coord,
+            "--engine-nprocs", "2"]
+    procs = [
+        subprocess.Popen(base + ["--engine-procid", str(pid)],
+                         env=env, cwd=here, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    rcs, outs = [], []
+    for p in procs:
+        o, _ = p.communicate(timeout=600)   # a barrier hang trips this
+        rcs.append(p.returncode)
+        outs.append(o.decode()[-2000:])
+    assert sorted(rcs) == [0, 1], outs
+    chroms = {l.split("\t")[0] for l in out.read_text().splitlines()[1:]}
+    assert chroms == {"c0", "c2"}

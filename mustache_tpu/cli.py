@@ -398,6 +398,7 @@ def main(argv=None):
             sigma0=args.s_z, octaves=args.octaves, precision=args.precision,
             block_batch=args.block_batch,
         )
+        t_detect = time.time()
         try:
             with log.phase("detect", chromosome=str(chromosome),
                            contacts=len(v)):
@@ -418,6 +419,14 @@ def main(argv=None):
                       error=str(exc))
             failed_units.append(unit_name)
             continue
+
+        if len(v):
+            # throughput counters (genome Mb/s of the detect phase)
+            mb = (int(max(x.max(), y.max())) + 1) * res_eff / 1e6
+            dt = max(time.time() - t_detect, 1e-9)
+            log.event("throughput", chromosome=str(chromosome),
+                      mb=round(mb, 2), mb_per_s=round(mb / dt, 3),
+                      loops=len(loops))
 
         rows = "".join(lp.to_row(chromosome, chromosome2, res_eff)
                        for lp in loops)

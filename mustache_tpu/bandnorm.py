@@ -54,21 +54,30 @@ def _winsum_fast(a, F: int, rows: int):
     return hi - lo
 
 
-def _winsum_general(a, F: int, rows: int, n: int):
-    """Same, but with numpy's short-row centering swap (rows shorter than
-    the window recentre at (len-1)//2) — a per-column offset, so this path
-    gathers. Only compiled when the band holds diagonals shorter than F."""
-    import jax.numpy as jnp
-
-    Dl = a.shape[1]
-    cs = jnp.concatenate([jnp.zeros_like(a[:1]), jnp.cumsum(a, axis=0)], 0)
+def _winsum_indices(Dl: int, F: int, rows: int, n: int):
+    """Static gather indices for the short-column regime: numpy's
+    centering swap (rows shorter than the window recentre at (len-1)//2)
+    is a per-column offset. Computed ONCE per (shape, config) and shared
+    by all three window-sum calls — int32, so the lowered graph carries
+    two small constants instead of six [rows, Dl] int64 literals (large
+    constants are pathological on tunneled TPU backends, see detect.py)."""
     lend = np.clip(n - np.arange(Dl), 0, rows)
     offd = np.where(lend < F, (np.maximum(lend, 1) - 1) // 2, (F - 1) // 2)
     i = np.arange(rows)[:, None]
-    hi_idx = np.clip(i + offd[None, :] + 1, 0, lend[None, :])
-    lo_idx = np.clip(i + offd[None, :] - F + 1, 0, lend[None, :])
-    return (jnp.take_along_axis(cs, jnp.asarray(hi_idx), 0)
-            - jnp.take_along_axis(cs, jnp.asarray(lo_idx), 0))
+    hi_idx = np.clip(i + offd[None, :] + 1, 0, lend[None, :]).astype(np.int32)
+    lo_idx = np.clip(i + offd[None, :] - F + 1, 0,
+                     lend[None, :]).astype(np.int32)
+    return hi_idx, lo_idx
+
+
+def _winsum_general(a, hi_idx, lo_idx):
+    """Window sums via precomputed per-cell cumsum gather indices
+    (short-column regime; see _winsum_indices)."""
+    import jax.numpy as jnp
+
+    cs = jnp.concatenate([jnp.zeros_like(a[:1]), jnp.cumsum(a, axis=0)], 0)
+    return (jnp.take_along_axis(cs, hi_idx, 0)
+            - jnp.take_along_axis(cs, lo_idx, 0))
 
 
 def _column_stats(band, occ, dtype):
@@ -102,11 +111,18 @@ def _normalize_band_local(band, *, n, F, Dv, rows, short_cols):
     mcol = mean_g + dtype.type(0.001)
     bc = jnp.where(occ, bandp - mcol[None, :], dtype.type(0.0))
 
-    win = (_winsum_general if short_cols else _winsum_fast)
-    wargs = dict(F=F, rows=rows) | ({"n": n} if short_cols else {})
-    cnt = win(occ.astype(dtype), **wargs)
-    s1c = win(bc, **wargs)
-    s2c = win(bc * bc, **wargs)
+    if short_cols:
+        import jax.numpy as jnp
+
+        hi_idx, lo_idx = _winsum_indices(band.shape[1], F, rows, n)
+        hi_idx, lo_idx = jnp.asarray(hi_idx), jnp.asarray(lo_idx)
+        win = functools.partial(_winsum_general, hi_idx=hi_idx,
+                                lo_idx=lo_idx)
+    else:
+        win = functools.partial(_winsum_fast, F=F, rows=rows)
+    cnt = win(occ.astype(dtype))
+    s1c = win(bc)
+    s2c = win(bc * bc)
 
     # identical algebra to the host path's raw sums: with the global-mean
     # centering, s2 - s1^2/cnt is invariant and lm = mcol + s1c/cnt
@@ -126,7 +142,8 @@ def _normalize_band_local(band, *, n, F, Dv, rows, short_cols):
 
     dcol = np.arange(band.shape[1], dtype=np.int32)[None, :]
     out = jnp.where(occ & (dcol < Dv), z, band)
-    return out, weights
+    # host contract (normalize_sparse): one weight per diagonal d < Dv
+    return out, weights[:Dv]
 
 
 def _normalize_band_global(band, *, dpx):

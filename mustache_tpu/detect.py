@@ -186,29 +186,6 @@ def _bh_lookup(sp, qs, vals):
     return qs[pos]
 
 
-def _diag_nz_means(c):
-    """Nonzero-mean of every superdiagonal of ``c`` (post-sentinel map).
-
-    Shear gather: A[i, d] = c[i, i+d] for i+d < N, then a masked column
-    reduction. Empty diagonals yield NaN exactly as ``np.mean([])`` does in
-    the reference's per-candidate ``diag_mean`` (mustache.py:816-823).
-    """
-    N = c.shape[0]
-    # derive the NxN shear index lazily (adding a traced zero) so no large
-    # device constant is created at trace time — materializing one forces a
-    # device round-trip per constant during lowering, which is pathological
-    # on tunneled TPU backends
-    rows_np = np.arange(N, dtype=np.int32)
-    zero_i = jnp.zeros_like(c, dtype=jnp.int32)
-    ij = zero_i + rows_np[:, None] + rows_np[None, :]
-    cols = ij % N
-    A = jnp.take_along_axis(c, cols, axis=1)
-    occupied = (ij < N) & (A != 0)
-    dsum = jnp.sum(jnp.where(occupied, A, 0), axis=0)
-    dcnt = jnp.sum(occupied, axis=0).astype(c.dtype)
-    return dsum / dcnt  # NaN where a diagonal has no nonzeros
-
-
 def _box_counts(ii, x, y, s, N):
     """Window sums of ``nz`` over [x-s, x+s+1) x [y-s, y+s+1) with numpy
     slice semantics: a negative start makes the slice empty (count 0),
@@ -436,13 +413,13 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
         "cand_x": cx,
         "cand_y": cy,
         "cand_logq": cand_logq,
-        "cand_sigidx": cand_sigidx.astype(jnp.int8),
+        "cand_sigidx": cand_sigidx.astype(jnp.int16),
         "cand_pass": cand_pass,
         "cand_valid": cand_valid,
         "pass_sparse": pass_sparse,
         "pass_enrich": pass_enrich,
         "neigh_logq": neigh_logq,
-        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
+        "neigh_sigidx": neigh_sigidx.astype(jnp.int16),
     }
     for name, arr, inside_fill, outside_fill in extras:
         out["neigh_" + name] = jnp.where(
@@ -545,8 +522,9 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
         return (Lc, Ln, mC, mN, best_v, best_logp, best_sigidx), None
 
     if pallas_out is None:
+        bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
         for o in range(n_octaves):
-            Go = Gb[o * 12:(o + 1) * 12]
+            Go = Gb[o * bpo:(o + 1) * bpo]
             L = Go[:-1] - Go[1:]                  # [11, N, Dl]
             planes = np.arange(o * planes_per_octave,
                                (o + 1) * planes_per_octave, dtype=np.int32)

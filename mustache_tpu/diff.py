@@ -130,10 +130,11 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
                   jnp.full((N, Dl), sent, dtype),   # best_pair
                   jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
               for m in (1, 2)}
+    bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
     for o in range(n_octaves):
-        Gd = Gb[0, o * 12:(o + 1) * 12]
-        G1 = Gb[1, o * 12:(o + 1) * 12]
-        G2 = Gb[2, o * 12:(o + 1) * 12]
+        Gd = Gb[0, o * bpo:(o + 1) * bpo]
+        G1 = Gb[1, o * bpo:(o + 1) * bpo]
+        G2 = Gb[2, o * bpo:(o + 1) * bpo]
         Ld = Gd[:-1] - Gd[1:]
         L1 = G1[:-1] - G1[1:]
         L2 = G2[:-1] - G2[1:]

@@ -116,8 +116,9 @@ def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
         best_sigidx = jnp.where(will, plane, best_sigidx)
         return (Lc, Ln, mC, mN, best_v, best_logp, best_sigidx), None
 
+    bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
     for o in range(n_octaves):
-        Go = G[o * 12:(o + 1) * 12]
+        Go = G[o * bpo:(o + 1) * bpo]
         L = Go[:-1] - Go[1:]
         planes = np.arange(o * planes_per_octave,
                            (o + 1) * planes_per_octave, dtype=np.int32)
@@ -184,10 +185,10 @@ def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
         "cand_x": cx,
         "cand_y": cy,
         "cand_logq": cand_logq,
-        "cand_sigidx": cand_sigidx.astype(jnp.int8),
+        "cand_sigidx": cand_sigidx.astype(jnp.int16),
         "cand_pass": cand_pass,
         "neigh_logq": neigh_logq,
-        "neigh_sigidx": neigh_sigidx.astype(jnp.int8),
+        "neigh_sigidx": neigh_sigidx.astype(jnp.int16),
     }
 
 

@@ -45,7 +45,11 @@ def gaussian_kernel_1d(sigma: float, radius: int | None = None) -> np.ndarray:
     if radius is None:
         radius = kernel_radius(sigma)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
-    phi = np.exp(-0.5 / (sigma * sigma) * x * x)
+    # parenthesization matters for the bit-for-bit scipy claim: scipy's
+    # _gaussian_kernel1d computes (-0.5 / sigma2) * (x ** 2); the
+    # left-to-right ((-0.5/s2) * x) * x form differs by 1 ulp for most
+    # sigmas
+    phi = np.exp(-0.5 / (sigma * sigma) * (x * x))
     return phi / phi.sum()
 
 

@@ -296,8 +296,16 @@ def main(argv=None):
         base_cfg = DetectionConfig(
             resolution=res, distance_bp=dist_bp, pt=args.pt, st=args.st,
             sigma0=args.s_z, octaves=args.octaves, precision=args.precision)
+        # the fingerprint must cover everything that shapes the VALUES in
+        # a part file, or resume would mix results computed under
+        # different normalizations into one output
         manifest = RunManifest(
-            args.outdir, config_fingerprint(base_cfg, {"f": os.path.abspath(f)}))
+            args.outdir, config_fingerprint(base_cfg, {
+                "f": os.path.abspath(f),
+                "norm": str(args.norm_method),
+                "bias": os.path.abspath(biasf) if biasf else "",
+                "bed": os.path.abspath(args.bed) if args.bed else "",
+            }))
         done = manifest.completed_chromosomes()
         if args.resume and done:
             log.event("resume", skipping=sorted(done))
@@ -343,6 +351,10 @@ def main(argv=None):
                 unit_name in manifest.completed_chromosomes():
             continue
         todo.append((chromosome, chromosome2, unit_name))
+    if manifest and not args.resume:
+        # fresh run: stale parts from a previous run must not survive into
+        # this run's assembly if one of these units fails
+        manifest.invalidate([u for _, _, u in todo])
 
     # cross-chromosome software pipelining: chromosome k+1's file decode
     # (disk + zlib + bias math, all host-side) runs on a worker thread
@@ -362,12 +374,23 @@ def main(argv=None):
             # reference gate (mustache.py:869-871). Recorded as a failed
             # unit rather than an early return: in a multi-host run a
             # mid-loop return would leave the other processes hanging at
-            # the parts-complete barrier below.
+            # the parts-complete barrier below. The pending prefetch (THIS
+            # unit's ingest) must be discarded and the next unit's
+            # submitted, or unit i+1 would consume unit i's contacts.
             print("Interchromosomal analysis is only supported for .hic "
                   "and .cool input formats.")
             log.event("unit_failed", unit=unit_name, stage="gate",
                       error="inter-chromosomal needs .hic/.cool input")
             failed_units.append(unit_name)
+            if pending is not None:
+                try:
+                    pending.result()
+                except Exception:
+                    pass
+            pending = None
+            if prefetch is not None and i + 1 < len(todo):
+                nxt = todo[i + 1]
+                pending = prefetch.submit(ingest_one, nxt[0], nxt[1])
             continue
 
         ingest_err = None
@@ -452,6 +475,12 @@ def main(argv=None):
             manifest.assemble(unit_order, header)
     elif manifest:
         manifest.assemble(unit_order, header)
+        if not failed_units:
+            # fully-successful single-host run: the parts served their
+            # purpose; leaving them would only feed stale data to later
+            # differently-failing runs (multi-host keeps parts — process 0
+            # cannot see peer failures)
+            manifest.cleanup(unit_order)
 
     if args.profile_dir:
         import jax

@@ -52,6 +52,11 @@ class CoolFile:
             self._g = self._h5[key]
         else:
             self._g = self._h5
+        # metadata caches: chromnames/chrom_offset are re-consulted many
+        # times per fetch (membership checks, bin ranges, weights); at 1kb
+        # genome scale the HDF5 re-reads add up
+        self._chromnames = None
+        self._chrom_offset = None
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -60,8 +65,11 @@ class CoolFile:
 
     @property
     def chromnames(self) -> list[str]:
-        return [c.decode() if isinstance(c, bytes) else str(c)
+        if self._chromnames is None:
+            self._chromnames = [
+                c.decode() if isinstance(c, bytes) else str(c)
                 for c in self._g["chroms/name"][:]]
+        return self._chromnames
 
     @property
     def chromsizes(self) -> np.ndarray:
@@ -76,7 +84,9 @@ class CoolFile:
     # -- pixels ------------------------------------------------------------
     def _chrom_bin_range(self, name: str) -> tuple[int, int]:
         ci = self.chrom_index(name)
-        off = self._g["indexes/chrom_offset"][:]
+        if self._chrom_offset is None:
+            self._chrom_offset = self._g["indexes/chrom_offset"][:]
+        off = self._chrom_offset
         return int(off[ci]), int(off[ci + 1])
 
     def weights(self, name: str, column: str = "weight") -> np.ndarray:
@@ -93,8 +103,10 @@ class CoolFile:
         balanced unless ``balance`` is False."""
         res = self.binsize
         lo, hi = self._chrom_bin_range(chrom)
-        b1off = self._g["indexes/bin1_offset"][:]
-        p0, p1 = int(b1off[lo]), int(b1off[hi])
+        # slice only this chromosome's rows of the genome-wide index
+        # (~25MB at 1kb genome scale if read whole)
+        b1off = self._g["indexes/bin1_offset"][lo:hi + 1]
+        p0, p1 = int(b1off[0]), int(b1off[-1])
         px = self._g["pixels"]
         b1 = px["bin1_id"][p0:p1].astype(np.int64)
         b2 = px["bin2_id"][p0:p1].astype(np.int64)
@@ -132,8 +144,8 @@ class CoolFile:
         a, b = (chrom2, chrom1) if flip else (chrom1, chrom2)
         alo, ahi = self._chrom_bin_range(a)
         blo, bhi = self._chrom_bin_range(b)
-        b1off = self._g["indexes/bin1_offset"][:]
-        p0, p1 = int(b1off[alo]), int(b1off[ahi])
+        b1off = self._g["indexes/bin1_offset"][alo:ahi + 1]
+        p0, p1 = int(b1off[0]), int(b1off[-1])
         px = self._g["pixels"]
         b1 = px["bin1_id"][p0:p1].astype(np.int64)
         b2 = px["bin2_id"][p0:p1].astype(np.int64)
@@ -172,6 +184,10 @@ def read_cooler(path: str, distance_bp: int, chr1: str, chr2: str,
     res = clr.binsize
     if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
         raise NameError("wrong chromosome name!")
+    # reference parity: a falsy norm coerces to balance=True — the
+    # reference CANNOT fetch raw counts either (mustache.py:424-427
+    # "if not cooler_balance: balance=True"); use CoolFile.fetch_band
+    # directly for raw counts
     bal = True if not balance else balance
     if chr1 != chr2:
         # rectangle fetch for the inter-chromosomal mode (functional here;
@@ -189,6 +205,10 @@ def read_mcooler(path: str, distance_bp: int, chr1: str, chr2: str, res: int,
     clr = CoolFile(path, resolution=res)
     if chr1 not in clr.chromnames or chr2 not in clr.chromnames:
         raise NameError("wrong chromosome name!")
+    # reference parity: a falsy norm coerces to balance=True — the
+    # reference CANNOT fetch raw counts either (mustache.py:424-427
+    # "if not cooler_balance: balance=True"); use CoolFile.fetch_band
+    # directly for raw counts
     bal = True if not balance else balance
     if chr1 != chr2:
         x, y, v = clr.fetch_rect(chr1, chr2, balance=bal)

@@ -139,14 +139,19 @@ class HicFile:
     def __init__(self, path: str):
         self.path = path
         self.f = open(path, "rb")
-        r = _Reader(self.f)
-        magic = self.f.read(3)
-        if magic != b"HIC":
-            raise ValueError(f"{path}: not a .hic file (bad magic {magic!r})")
-        self.f.read(1)
-        self.version = r.i32()
-        if not 6 <= self.version <= 9:
-            raise ValueError(f"unsupported .hic version {self.version}")
+        try:
+            r = _Reader(self.f)
+            magic = self.f.read(3)
+            if magic != b"HIC":
+                raise ValueError(
+                    f"{path}: not a .hic file (bad magic {magic!r})")
+            self.f.read(1)
+            self.version = r.i32()
+            if not 6 <= self.version <= 9:
+                raise ValueError(f"unsupported .hic version {self.version}")
+        except Exception:
+            self.f.close()
+            raise
         try:
             self.master_index_pos = r.i64()
             self.genome = r.cstr()
@@ -164,6 +169,7 @@ class HicFile:
                 self.chromosomes.append(HicChromosome(i, name, length))
             self.resolutions = [r.i32() for _ in range(r.i32())]
         except struct.error as e:
+            self.f.close()
             raise ValueError(f"{path}: truncated .hic header") from e
         self._footer = None
 
@@ -336,7 +342,9 @@ class HicFile:
                     vs.append(c)
         elif mtype == 2:    # dense
             n_pts = take("<i", 4)
-            w = take(xfmt, xsz)
+            # straw reads the dense width as int16 UNCONDITIONALLY — the
+            # useIntXPos flag widens only the bin offsets, not w
+            w = take("<h", 2)
             for i in range(n_pts):
                 c = take(cfmt, csz)
                 if (not use_float and c == -32768) or (
@@ -467,16 +475,19 @@ def read_hic_file(path: str, norm_method, chrm_size, distance_bp: int,
     For chr1 != chr2 the full rectangle is returned (the reference
     advertises but cannot serve this, mustache.py:689-694)."""
     hic = HicFile(path)
-    norm = norm_method if norm_method else "KR"
-    if chr1 != chr2:
-        x, y, v = hic.fetch_pair(chr1, chr2, res, norm=norm)
+    try:
+        norm = norm_method if norm_method else "KR"
+        if chr1 != chr2:
+            x, y, v = hic.fetch_pair(chr1, chr2, res, norm=norm)
+            v[np.isnan(v)] = 0
+            keep = v > 0
+            return x[keep], y[keep], v[keep]
+        x, y, v = hic.fetch_chromosome(chr1, res, norm=norm,
+                                       distance_bins=distance_bp / res)
+    finally:
+        # close on error paths too: the CLI's ingest retries reopen the
+        # file per attempt, so a leak per raise accumulates descriptors
         hic.close()
-        v[np.isnan(v)] = 0
-        keep = v > 0
-        return x[keep], y[keep], v[keep]
-    x, y, v = hic.fetch_chromosome(chr1, res, norm=norm,
-                                   distance_bins=distance_bp / res)
-    hic.close()
     if len(v) == 0:
         print(f"There is no contact in chrmosome {chr1} to work on.")
         return [], [], []

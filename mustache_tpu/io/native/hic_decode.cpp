@@ -145,7 +145,9 @@ bool decode_payload(const uint8_t* data, int64_t len, int version,
   }
   if (mtype == 2) {  // dense
     int32_t n_pts = c.take<int32_t>();
-    int32_t w = take_x();
+    // straw reads the dense width as int16 UNCONDITIONALLY (useIntXPos
+    // widens only the bin offsets, not w)
+    int32_t w = c.take<int16_t>();
     if (!c.ok || w <= 0) return false;
     for (int32_t i = 0; c.ok && i < n_pts; ++i) {
       double val;

@@ -16,10 +16,12 @@ def enable_compilation_cache(path: str | None = None):
 
     cache = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
              or os.path.expanduser("~/.cache/mustache_tpu/jax"))
-    os.makedirs(cache, exist_ok=True)
+    # the cache is a pure optimization: an unwritable HOME (read-only
+    # container, service account) must not crash CLI startup
     try:
+        os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass
+        return None
     return cache

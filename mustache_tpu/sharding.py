@@ -30,8 +30,10 @@ def make_mesh(n_block: int | None = None, n_row: int = 1, devices=None):
     nd = len(devices)
     if n_block is None:
         n_block = nd // n_row
-    if n_block * n_row > nd:
-        raise ValueError(f"mesh {n_block}x{n_row} needs {n_block*n_row} devices, have {nd}")
+    if n_block < 1 or n_block * n_row > nd:
+        raise ValueError(
+            f"mesh {n_block}x{n_row} needs {max(n_block, 1) * n_row} "
+            f"devices, have {nd}")
     arr = np.array(devices[: n_block * n_row]).reshape(n_block, n_row)
     return Mesh(arr, ("block", "row"))
 

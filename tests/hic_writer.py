@@ -56,6 +56,37 @@ def _pack_block_v8(x, y, v, use_short_counts: bool) -> bytes:
     return zlib.compress(out.getvalue())
 
 
+def _pack_block_v9_dense(x, y, v, int_bins: bool,
+                         float_counts: bool) -> bytes:
+    """Dense (type 2) block: row-major w x h grid with missing-value
+    sentinels. Per straw, the width is int16 REGARDLESS of useIntXPos
+    (the flag widens only the bin offsets)."""
+    out = BytesIO()
+    out.write(struct.pack("<i", len(v)))
+    bx, by = int(x.min()), int(y.min())
+    out.write(struct.pack("<ii", bx, by))
+    out.write(struct.pack("<b", 1 if float_counts else 0))  # useFloatContact
+    out.write(struct.pack("<b", 1 if int_bins else 0))      # useIntXPos
+    out.write(struct.pack("<b", 1 if int_bins else 0))      # useIntYPos
+    out.write(struct.pack("<b", 2))                         # type: dense
+    w = int(x.max()) - bx + 1
+    h = int(y.max()) - by + 1
+    grid = {(int(yi) - by, int(xi) - bx): vi
+            for xi, yi, vi in zip(x, y, v)}
+    out.write(struct.pack("<i", w * h))
+    out.write(struct.pack("<h", w))
+    for i in range(w * h):
+        r, c = divmod(i, w)
+        vi = grid.get((r, c))
+        if float_counts:
+            out.write(struct.pack("<f",
+                                  float("nan") if vi is None else float(vi)))
+        else:
+            out.write(struct.pack("<h",
+                                  -32768 if vi is None else int(vi)))
+    return zlib.compress(out.getvalue())
+
+
 def _pack_block_v9(x, y, v, int_bins: bool, float_counts: bool) -> bytes:
     out = BytesIO()
     out.write(struct.pack("<i", len(v)))
@@ -85,7 +116,7 @@ def _pack_block_v9(x, y, v, int_bins: bool, float_counts: bool) -> bytes:
 
 def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
               norms: dict | None = None, use_short_counts: bool = False,
-              block_bins: int = 512):
+              block_bins: int = 512, dense_blocks: bool = False):
     """Write a single-resolution .hic file.
 
     chroms: [(name, length_bp)] (an "All" pseudo-chromosome is prepended, as
@@ -163,7 +194,11 @@ def write_hic(path: str, chroms, res: int, pixels: dict, version: int = 8,
         block_recs = []
         for number, (xs, ys, vs) in sorted(blocks.items()):
             xs = np.asarray(xs); ys = np.asarray(ys); vs = np.asarray(vs)
-            if version >= 9:
+            if version >= 9 and dense_blocks:
+                payload = _pack_block_v9_dense(
+                    xs, ys, vs, int_bins=(max(xs.max(), ys.max()) > 30000),
+                    float_counts=not use_short_counts)
+            elif version >= 9:
                 payload = _pack_block_v9(
                     xs, ys, vs, int_bins=(max(xs.max(), ys.max()) > 30000),
                     float_counts=not use_short_counts)

@@ -87,3 +87,31 @@ def test_cli_text_requires_chromosome(contact_file, tmp_path, capsys):
     rc = main(["-f", path, "-r", "5kb", "-o", str(tmp_path / "o.tsv")])
     assert rc == 1
     assert "chromosome name" in capsys.readouterr().out
+
+
+def test_gate_failure_does_not_shift_prefetch(tmp_path):
+    """A gated (inter-on-text) unit must discard its prefetched ingest:
+    the unit after it must get its OWN contacts, not the gated unit's."""
+    res = 5000
+    path = tmp_path / "three.txt"
+    anchors = {}
+    with open(path, "w") as fh:
+        for chrom, seed in (("chr20", 7), ("chr21", 8), ("chr23", 9)):
+            x, y, v, a = synthetic_hic(1200, 150, seed=seed, n_loops=20)
+            anchors[chrom] = a
+            for aa, bb, cc in zip(x, y, v):
+                fh.write(f"{chrom}\t{aa*res}\t{chrom}\t{bb*res}\t{cc}\n")
+    out = str(tmp_path / "o.tsv")
+    rc = main(["-f", str(path), "-ch", "20", "21", "23",
+               "-ch2", "20", "22", "23", "-r", "5kb", "-o", out,
+               "-d", "750kb", "-pt", "0.2", "-st", "0.6"])
+    assert rc == 1   # the (21, 22) pair fails the text-format gate
+
+    # chr23's calls must be chr23's own (solo-run comparison)
+    solo = str(tmp_path / "solo.tsv")
+    assert main(["-f", str(path), "-ch", "23", "-r", "5kb", "-o", solo,
+                 "-d", "750kb", "-pt", "0.2", "-st", "0.6"]) == 0
+    rows23 = [l for l in open(out).read().splitlines()[1:]
+              if l.split("\t")[0] == "23"]
+    solo_rows = open(solo).read().splitlines()[1:]
+    assert rows23 == solo_rows and len(solo_rows) > 0

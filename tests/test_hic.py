@@ -222,3 +222,27 @@ def test_corrupt_block_stream(tmp_path):
             native.decode_hic_blocks(
                 str(p), np.array([entry.position], np.int64),
                 np.array([entry.size], np.int32), 8)
+
+
+@pytest.mark.parametrize("short_counts", [False, True])
+@pytest.mark.parametrize("big_bins", [False, True])
+def test_v9_dense_block_roundtrip(tmp_path, short_counts, big_bins):
+    """Dense (type 2) blocks: per straw the width field is int16 even when
+    useIntXPos widens the bin offsets — a wider read desynchronizes the
+    whole record stream."""
+    rng = np.random.default_rng(5)
+    base = 30500 if big_bins else 100   # >30000 triggers useIntXPos
+    x = base + rng.integers(0, 60, 300).astype(np.int64)
+    y = x + rng.integers(0, 40, 300).astype(np.int64)
+    v = rng.integers(1, 200, 300).astype(np.float64)
+    keep = np.unique(x * 100000 + y, return_index=True)[1]
+    x, y, v = x[keep], y[keep], v[keep]
+    path = str(tmp_path / "dense.hic")
+    write_hic(path, [("chr1", int(y.max() + 10) * 1000)], 1000,
+              {"chr1": (x, y, v)}, version=9,
+              use_short_counts=short_counts, dense_blocks=True)
+    hic = HicFile(path)
+    X, Y, V = hic.fetch_chromosome("chr1", 1000)
+    got = {(a, b): c for a, b, c in zip(X, Y, V)}
+    want = {(a, b): c for a, b, c in zip(x, y, v)}
+    assert got == want

@@ -38,8 +38,38 @@ def test_manifest_atomic_and_resumable(tmp_path):
     # simulate crash: new instance with same fingerprint resumes
     m2 = RunManifest(out, "f1")
     assert m2.completed_chromosomes() == {"chr1"}
-    data = json.load(open(m2.manifest_path))
-    assert data["completed"]["chr1"]["n_loops"] == 1
+    data = json.load(open(m2.part_path("chr1") + ".done"))
+    assert data["n_loops"] == 1 and data["fingerprint"] == "f1"
+
+
+def test_manifest_stale_part_excluded(tmp_path):
+    """A part file without a matching-fingerprint done marker (older run,
+    different config) must not leak into assembly or resume."""
+    out = str(tmp_path / "loops.tsv")
+    old = RunManifest(out, "old-config")
+    old.mark_complete("chr1", 1, 0.1, "stale-row\n")
+
+    m = RunManifest(out, "new-config")
+    assert m.completed_chromosomes() == set()
+    m.mark_complete("chr2", 1, 0.1, "fresh-row\n")
+    m.assemble(["chr1", "chr2"], "HDR\n")
+    assert open(out).read() == "HDR\nfresh-row\n"
+
+    # invalidate drops a unit's part + marker
+    m.invalidate(["chr2"])
+    assert m.completed_chromosomes() == set()
+    assert not os.path.exists(m.part_path("chr2"))
+
+
+def test_manifest_concurrent_markers_no_loss(tmp_path):
+    """Per-unit markers: two 'processes' completing different units never
+    clobber each other's records (the old shared-JSON design lost one)."""
+    out = str(tmp_path / "loops.tsv")
+    a = RunManifest(out, "f1")
+    b = RunManifest(out, "f1")
+    a.mark_complete("chr1", 1, 0.1, "a\n")
+    b.mark_complete("chr2", 2, 0.2, "b\n")
+    assert RunManifest(out, "f1").completed_chromosomes() == {"chr1", "chr2"}
 
 
 def test_runlog_events_and_phases(capsys):

@@ -17,9 +17,13 @@ well-defined semantics:
   filter (it compares against the candidate's *diagonal* mean,
   mustache.py:816-828, which has no analogue off the diagonal).
 * **Blocking**: a 2-D grid of CHUNK x CHUNK tiles with a 128-bin overlap;
-  a tile owns the candidates in its non-overlap interior on both axes, so
-  each candidate is reported exactly once. Statistics (exponential fits,
-  BH) are per tile, exactly as the reference's intra blocks are per-block
+  a tile owns the candidates in its non-overlap interior on both axes.
+  Ownership is decided on each cluster's argmin-q representative; because
+  per-tile statistics differ slightly in the shared margin, a cluster
+  whose representative lands within a pixel or two of an ownership
+  boundary can in rare cases be emitted by both neighboring tiles (at
+  adjacent coordinates) or neither. Statistics (exponential fits, BH)
+  are per tile, exactly as the reference's intra blocks are per-block
   statistical units.
 
 Everything device-side is one jitted vmapped function per tile shape,
@@ -61,17 +65,20 @@ def normalize_inter(v: np.ndarray) -> np.ndarray:
 
 
 def _rect_box_counts(ii, x, y, s, N1, N2):
-    """Window sums over [x-s, x+s+1) x [y-s, y+s+1) with numpy slice
-    semantics (negative start => empty, overruns clamp)."""
+    """Window sums over [x-s, x+s+1) x [y-s, y+s+1), clamped at ALL edges.
+
+    The intra core's numpy negative-start => empty-window quirk
+    (detect._box_counts) exists only for reference bug-parity at the
+    diagonal corner; the rectangle has no such corner, and emptying the
+    window would make every anchor within 2*s bins of the top/left edge
+    fail the sparsity filter unconditionally."""
     x0, x1 = x - s, x + s + 1
     y0, y1 = y - s, y + s + 1
-    empty = (x0 < 0) | (y0 < 0)
     x0c = jnp.clip(x0, 0, N1)
     x1c = jnp.clip(x1, 0, N1)
     y0c = jnp.clip(y0, 0, N2)
     y1c = jnp.clip(y1, 0, N2)
-    cnt = ii[x1c, y1c] - ii[x0c, y1c] - ii[x1c, y0c] + ii[x0c, y0c]
-    return jnp.where(empty, 0, cnt)
+    return ii[x1c, y1c] - ii[x0c, y1c] - ii[x1c, y0c] + ii[x0c, y0c]
 
 
 def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
@@ -147,13 +154,18 @@ def _detect_inter_one(c, st, log_pt, *, kernels, det_ceil, planes_per_octave,
     ii = jnp.pad(
         jnp.cumsum(jnp.cumsum(nz.astype(jnp.int32), 0), 1), ((1, 0), (1, 0)))
     ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
+    def _occupancy(s):
+        cnt = _rect_box_counts(ii, cx, cy, s, N1, N2).astype(dtype)
+        # clamped window area (edge anchors have smaller windows)
+        w1 = jnp.clip(cx + s + 1, 0, N1) - jnp.clip(cx - s, 0, N1)
+        w2 = jnp.clip(cy + s + 1, 0, N2) - jnp.clip(cy - s, 0, N2)
+        return cnt / jnp.maximum(w1 * w2, 1).astype(dtype)
+
     s1 = jnp.where(cand_sigidx >= 0,
                    jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
-    c1 = (_rect_box_counts(ii, cx, cy, s1, N1, N2).astype(dtype)
-          / ((2 * s1 + 1) ** 2).astype(dtype))
+    c1 = _occupancy(s1)
     s2 = 2 * s1
-    c2 = (_rect_box_counts(ii, cx, cy, s2, N1, N2).astype(dtype)
-          / ((2 * s2 + 1) ** 2).astype(dtype))
+    c2 = _occupancy(s2)
     # no cx != 0 exclusion here: the intra core drops x == 0 candidates
     # only because the reference's c[x-s1:x+s1+1] slice goes negative at
     # the diagonal corner (mustache.py:800); the rectangle has no diagonal
@@ -245,21 +257,11 @@ def build_inter_detector(cfg: DetectionConfig, n: int,
 
 
 def _grid_1d(n: int, chunk: int, ov: int):
-    """Overlapping 1-D tile grid: advance chunk-ov, last tile right-aligned
-    (same construction as the intra grid, mustache.py:896-910)."""
-    if n <= chunk:
-        return [0], [n]
-    if chunk <= ov:
-        raise ValueError(
-            f"tile size {chunk} must exceed the overlap {ov} "
-            f"(the grid cannot advance)")
-    start, end = [0], [chunk]
-    while end[-1] < n:
-        start.append(end[-1] - ov)
-        end.append(start[-1] + chunk)
-    end[-1] = n
-    start[-1] = n - chunk
-    return start, end
+    """Overlapping 1-D tile grid (delegates to config.chunk_grid — one
+    copy of the grid construction and its non-advancing guard)."""
+    from mustache_tpu.config import chunk_grid
+
+    return chunk_grid(n, chunk, ov)
 
 
 def finish_inter_block(out: dict, *, start1: int, start2: int,
@@ -306,7 +308,10 @@ def detect_inter_loops_coo(x, y, v, cfg: DetectionConfig, *,
                            n2: int | None = None, chunk: int | None = None):
     """Loop calls for one inter-chromosomal COO rectangle (x on the first
     chromosome's bins, y on the second's). Returns Loop-row lists
-    ``[x_bin, y_bin, q, sigma]``."""
+    ``[x_bin, y_bin, q, sigma]``.
+
+    Note: like the intra path, ``v`` is normalized IN PLACE when it is
+    already float64 (pass a copy to keep the raw counts)."""
     if len(v) == 0:
         return []
     x = np.asarray(x, np.int64)
@@ -330,7 +335,8 @@ def detect_inter_loops_coo(x, y, v, cfg: DetectionConfig, *,
 
     # tile batches (dense H2D; inter maps are sparse enough that COO-side
     # optimizations matter less than on the intra band path)
-    B = max(1, min(4, int(4e9 // (45 * chunk * chunk * 4))))
+    B = max(1, min(4, int(4e9 // (45 * chunk * chunk
+                                   * np.dtype(dtype).itemsize))))
     B = min(B, len(tiles))
 
     order = np.argsort(x, kind="stable")

@@ -17,10 +17,16 @@ from mustache_tpu.io.text import sniff_separator
 
 
 class BiasVector:
-    """Bin-index -> bias factor mapping with a default of 1.0."""
+    """Bin-index -> bias factor mapping with a default of 1.0.
 
-    def __init__(self, factors: dict[float, float]):
+    ``by_line`` records that the source file was the 1-column format,
+    whose keys are FILE LINE NUMBERS (genome-wide row order), not
+    chromosome-local bin indices — callers that know the row layout
+    (e.g. the HiC-Pro reader, which has the bed) must remap."""
+
+    def __init__(self, factors: dict[float, float], by_line: bool = False):
         self._factors = factors
+        self.by_line = by_line
 
     def __bool__(self) -> bool:
         return True
@@ -53,6 +59,7 @@ def read_bias(path, chromosome, res: int) -> BiasVector | bool:
         return False
     sep = sniff_separator(path)
     factors: dict[float, float] = {}
+    by_line = False
     with open(path) as fh:
         for pos, line in enumerate(fh):
             parts = line.strip().split(sep)
@@ -64,10 +71,11 @@ def read_bias(path, chromosome, res: int) -> BiasVector | bool:
             elif len(parts) == 1:
                 val = float(parts[0])
                 key = float(pos)
+                by_line = True
             else:
                 continue
             if np.isnan(val) or val < 0.2:
                 factors[key] = np.inf
             else:
                 factors[key] = val
-    return BiasVector(factors)
+    return BiasVector(factors, by_line=by_line)

@@ -32,7 +32,8 @@ def read_hicpro(matrix_path: str, bed_path: str, distance_bp: int, bias,
     empty = (np.array([], np.int64), np.array([], np.int64),
              np.array([], np.float64))
 
-    bed = pd.read_csv(bed_path, sep=sniff_separator(bed_path), header=None)
+    bed = pd.read_csv(bed_path, sep=sniff_separator(bed_path),
+                      header=None).dropna()
     if bed.shape[1] < 4:
         raise ValueError(
             f"HiC-Pro bed needs 4 columns (chrom start end id), "
@@ -44,10 +45,15 @@ def read_hicpro(matrix_path: str, bed_path: str, distance_bp: int, bias,
         return empty
     ids = bed[3].to_numpy(np.int64)[on_chrom]
     starts = bed[1].to_numpy(np.int64)[on_chrom]
+    bed_rows = np.nonzero(on_chrom)[0]   # file line number per kept id
     # bin id -> in-chromosome bin index (dense lookup over the id range)
     id_lo, id_hi = int(ids.min()), int(ids.max())
     id_to_bin = np.full(id_hi - id_lo + 1, -1, np.int64)
     id_to_bin[ids - id_lo] = starts // res
+    # bin id -> bed file line: the key space of 1-column (HiC-Pro ICE)
+    # bias files, whose factors are one line per genome-wide bed row
+    id_to_row = np.full(id_hi - id_lo + 1, -1, np.int64)
+    id_to_row[ids - id_lo] = bed_rows
 
     mat = pd.read_csv(matrix_path, sep=sniff_separator(matrix_path),
                       header=None).dropna()
@@ -64,15 +70,24 @@ def read_hicpro(matrix_path: str, bed_path: str, distance_bp: int, bias,
     b1 = id_to_bin[i1 - id_lo]
     b2 = id_to_bin[i2 - id_lo]
     keep = (b1 >= 0) & (b2 >= 0)
+    i1, i2 = i1[keep], i2[keep]
     b1, b2, v = b1[keep], b2[keep], v[keep]
 
     # same band filter as the text path (on bp distance, mustache.py:264)
     keep = np.abs(b1 - b2) * res <= (distance_bp / res + 1) * res
+    i1, i2 = i1[keep], i2[keep]
     b1, b2, v = b1[keep], b2[keep], v[keep]
 
     if bias:
-        v = v / bias.lookup(b1)
-        v = v / bias.lookup(b2)
+        if getattr(bias, "by_line", False):
+            # 1-column bias: factors are keyed by genome-wide bed line
+            k1 = id_to_row[i1 - id_lo]
+            k2 = id_to_row[i2 - id_lo]
+        else:
+            # 3-column bias: keyed by chromosome-local bin (midpoint//res)
+            k1, k2 = b1, b2
+        v = v / bias.lookup(k1)
+        v = v / bias.lookup(k2)
 
     pos = v > 0
     b1, b2, v = b1[pos], b2[pos], v[pos]

@@ -42,16 +42,20 @@ class RunLog:
 
     @contextlib.contextmanager
     def phase(self, name: str, **fields):
-        """Timed phase; also a named TraceAnnotation when profiling."""
+        """Timed phase; also a named TraceAnnotation when profiling.
+        The timing event is emitted even when the body raises (a failing
+        phase must still leave its timing record)."""
         t0 = time.time()
         try:
             import jax.profiler
             ctx = jax.profiler.TraceAnnotation(name)
         except Exception:
             ctx = contextlib.nullcontext()
-        with ctx:
-            yield
-        self.event(name, seconds=round(time.time() - t0, 3), **fields)
+        try:
+            with ctx:
+                yield
+        finally:
+            self.event(name, seconds=round(time.time() - t0, 3), **fields)
 
     def summary(self) -> dict[str, float]:
         out: dict[str, float] = {}

@@ -74,3 +74,27 @@ def test_hicpro_cli_end_to_end(workload, tmp_path):
     assert main(["-bed", bed, "-m", mat, "-o", out_pro] + common) == 0
     assert open(out_pro).read() == open(out_txt).read()
     assert len(open(out_pro).read().splitlines()) > 3
+
+
+def test_hicpro_one_column_bias_keyed_by_bed_row(workload, tmp_path):
+    """HiC-Pro ICE bias (1-column, one factor per genome-wide bed row):
+    factors must map through the bed's row order, not the in-chromosome
+    bin index — chr21's ids start at row 100 in this bed."""
+    _, bed, mat, _ = workload
+    n_rows = sum(1 for _ in open(bed))
+    biasfile = tmp_path / "ice.bias"
+    with open(biasfile, "w") as fh:
+        for i in range(n_rows):
+            # chr20 rows (0..99) get factor 10, chr21 rows factor 2
+            fh.write(f"{10.0 if i < 100 else 2.0}\n")
+    from mustache_tpu.io.bias import read_bias
+
+    bias = read_bias(str(biasfile), "21", RES)
+    assert bias.by_line
+    x0, y0, v0 = read_hicpro(mat, bed, 1_000_000, False, "21", RES)
+    x1, y1, v1 = read_hicpro(mat, bed, 1_000_000, bias, "21", RES)
+    np.testing.assert_array_equal(x0, x1)
+    # every chr21 factor is 2.0 at both anchors: v / 4 exactly — if the
+    # lookup used in-chromosome bins, the first 100 bins would get chr20's
+    # factor 10 instead
+    np.testing.assert_allclose(v1, v0 / 4.0)

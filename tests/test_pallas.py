@@ -119,3 +119,28 @@ def test_raw_kernel_band_state(n=256, d_px=64):
         gk1 = scipy_blur(cs.astype(np.float64), det_sig[o * 12 + j + 2])
         want = gk[i, i + d] - gk1[i, i + d]
         np.testing.assert_allclose(band_v[i, d], want, rtol=2e-4, atol=1e-5)
+
+
+def test_pallas_matches_xla_path_three_octaves():
+    """Non-default ladder (octaves=3, 27 tested planes): the kernel's
+    lane-packed per-plane partials and per-octave loops must hold beyond
+    the default 2-octave shape."""
+    n, d_px = 256, 64
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=256,
+                          octaves=3)
+    c = make_block(n, d_px, seed=93)
+    det = build_detector(cfg, n)
+    ref = jax.tree.map(np.asarray, det.fn_single(c))
+    spec, fn, fn_single, _fn_band = _build_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        cfg.max_candidates, True, True)
+    got = jax.tree.map(np.asarray, fn_single(
+        c, np.float32(cfg.st), np.float32(np.log(cfg.pt))))
+    rset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+        ref["cand_x"], ref["cand_y"], ref["cand_sigidx"], ref["cand_valid"])
+        if ok}
+    gset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+        got["cand_x"], got["cand_y"], got["cand_sigidx"], got["cand_valid"])
+        if ok}
+    assert rset == gset and len(rset) > 0

@@ -4,8 +4,10 @@ Reproduces ``diff_mustache`` semantics (diff_mustache.py:260-569): the
 scale-space pyramid runs simultaneously on both normalized maps and their
 difference map (joint support ``nz = nz1 & nz2``); per-map detections carry
 an additional differential p-value — a two-sided folded normal tail of the
-difference-map DoG response, fit per plane on the joint support — recorded
-at each map's detection scale. Candidates pass per-map BH FDR, sparsity and
+difference-map DoG response, fit ONCE PER OCTAVE on the octave's second
+DoG plane over the joint support (the reference never rolls the
+difference-map plane inside the scale loop, diff_mustache.py:337) —
+recorded at each map's detection scale. Candidates pass per-map BH FDR, sparsity and
 enrichment filters and clustering exactly as the single-map core, and a
 loop is called differential when its component representative has
 ``pair < pt2`` and a larger best DoG response than the other condition.
@@ -63,13 +65,23 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     cd = jnp.where(nzd, c1 - c2, dtype.type(0.0))
 
     S = kernels.shape[0]
-    G = _blur_ladder(jnp.stack([cd, c1, c2]), kernels)  # [3, S, N, N]
+    bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
+    # per-map ladders in full; the DIFFERENCE map needs only blur planes
+    # 1..2 of each octave: the reference computes Lc = Gc - Gn once per
+    # octave and never rolls it (diff_mustache.py:337 — the inner loop
+    # reassigns Lc1/Lc2 but not Lc), so the folded-normal differential
+    # p-value is FROZEN per octave
+    G = _blur_ladder(jnp.stack([c1, c2]), kernels)      # [2, S, N, N]
+    sel = np.concatenate([[o * bpo + 1, o * bpo + 2]
+                          for o in range(n_octaves)])
+    Gdiff = _blur_ladder(cd, kernels[sel])              # [2*n_oct, N, N]
 
     geom = _BandGeom(c1, d_px)
     Dl = geom.Dl
     zerof = dtype.type(0.0)
     Gb = jax.vmap(lambda g: geom.shear(g, zerof))(
-        G.reshape(3 * S, N, N)).reshape(3, S, N, Dl)
+        G.reshape(2 * S, N, N)).reshape(2, S, N, Dl)
+    Gdb = jax.vmap(lambda g: geom.shear(g, zerof))(Gdiff)  # [2*n_oct, N, Dl]
 
     pinf = dtype.type(np.inf)
     zero = dtype.type(0.0)
@@ -82,47 +94,40 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     nzbd_f = nzbd.astype(dtype)
     inv_nzd = 1.0 / jnp.maximum(jnp.sum(nzd, dtype=jnp.int32), 1).astype(dtype)
 
-    def step(carry, xs):
-        roll, st1, st2 = carry
-        Lcd, Ln1, Ln2, plane = xs
-        # folded-normal differential p on the difference-map plane,
-        # fit on the joint support (diff_mustache.py:371-385)
-        mu = jnp.sum(Lcd * nzbd_f) * inv_nzd
-        var = jnp.sum(jnp.where(nzbd, (Lcd - mu) ** 2, zero)) * inv_nzd
-        sd = jnp.sqrt(var)
-        phi = jax.scipy.stats.norm.cdf(Lcd, loc=mu, scale=sd)
-        phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
-        diff_p = jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0
+    def make_step(diff_p):
+        def step(carry, xs):
+            roll, st1, st2 = carry
+            Ln1, Ln2, plane = xs
+            new_roll = []
+            new_states = []
+            for m, st_m, Ln in ((1, st1, Ln1), (2, st2, Ln2)):
+                Lp, Lc, mP, mC = roll[4 * (m - 1):4 * m]
+                mN = geom.max3x3_band(Ln)
+                abs_lc = jnp.abs(Lc)
+                loc = jnp.min(jnp.where(nzb[m], abs_lc, pinf))
+                mean = jnp.sum(abs_lc * nzbf[m]) * inv_nz[m]
+                scale = mean - loc
+                logp = -(abs_lc - loc) / scale
+                # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
+                logp = jnp.where(jnp.isnan(logp), zero, logp)
 
-        new_roll = []
-        new_states = []
-        for m, st_m, Ln in ((1, st1, Ln1), (2, st2, Ln2)):
-            Lp, Lc, mP, mC = roll[4 * (m - 1):4 * m]
-            mN = geom.max3x3_band(Ln)
-            abs_lc = jnp.abs(Lc)
-            loc = jnp.min(jnp.where(nzb[m], abs_lc, pinf))
-            mean = jnp.sum(abs_lc * nzbf[m]) * inv_nz[m]
-            scale = mean - loc
-            logp = -(abs_lc - loc) / scale
-            # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
-            logp = jnp.where(jnp.isnan(logp), zero, logp)
-
-            will = (
-                nzb[m]
-                & (Lc > st_m[0])
-                & (Lc == mC)
-                & ((Lp == mP) | (Ln == mN))
-                & (Lc > mP)
-                & (Lc > mN)
-            )
-            new_states.append((
-                jnp.where(will, Lc, st_m[0]),
-                jnp.where(will, logp, st_m[1]),
-                jnp.where(will, diff_p, st_m[2]),
-                jnp.where(will, plane, st_m[3]),
-            ))
-            new_roll.extend((Lc, Ln, mC, mN))
-        return (tuple(new_roll), new_states[0], new_states[1]), None
+                will = (
+                    nzb[m]
+                    & (Lc > st_m[0])
+                    & (Lc == mC)
+                    & ((Lp == mP) | (Ln == mN))
+                    & (Lc > mP)
+                    & (Lc > mN)
+                )
+                new_states.append((
+                    jnp.where(will, Lc, st_m[0]),
+                    jnp.where(will, logp, st_m[1]),
+                    jnp.where(will, diff_p, st_m[2]),
+                    jnp.where(will, plane, st_m[3]),
+                ))
+                new_roll.extend((Lc, Ln, mC, mN))
+            return (tuple(new_roll), new_states[0], new_states[1]), None
+        return step
 
     zb = jnp.zeros((N, Dl), dtype)
     states = {m: (zb,                               # best_v
@@ -130,21 +135,27 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
                   jnp.full((N, Dl), sent, dtype),   # best_pair
                   jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
               for m in (1, 2)}
-    bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
     for o in range(n_octaves):
-        Gd = Gb[0, o * bpo:(o + 1) * bpo]
-        G1 = Gb[1, o * bpo:(o + 1) * bpo]
-        G2 = Gb[2, o * bpo:(o + 1) * bpo]
-        Ld = Gd[:-1] - Gd[1:]
+        G1 = Gb[0, o * bpo:(o + 1) * bpo]
+        G2 = Gb[1, o * bpo:(o + 1) * bpo]
         L1 = G1[:-1] - G1[1:]
         L2 = G2[:-1] - G2[1:]
+        # the octave's frozen difference DoG plane and its folded-normal
+        # p-value, fit on the joint support (diff_mustache.py:337,371-385)
+        Lcf = Gdb[2 * o] - Gdb[2 * o + 1]
+        mu = jnp.sum(Lcf * nzbd_f) * inv_nzd
+        var = jnp.sum(jnp.where(nzbd, (Lcf - mu) ** 2, zero)) * inv_nzd
+        sd = jnp.sqrt(var)
+        phi = jax.scipy.stats.norm.cdf(Lcf, loc=mu, scale=sd)
+        phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
+        diff_p = jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0
         planes = np.arange(o * planes_per_octave,
                            (o + 1) * planes_per_octave, dtype=np.int32)
         roll = (L1[0], L1[1], geom.max3x3_band(L1[0]), geom.max3x3_band(L1[1]),
                 L2[0], L2[1], geom.max3x3_band(L2[0]), geom.max3x3_band(L2[1]))
         carry, _ = lax.scan(
-            step, (roll, states[1], states[2]),
-            (Ld[1:planes_per_octave + 1], L1[2:], L2[2:], planes))
+            make_step(diff_p), (roll, states[1], states[2]),
+            (L1[2:], L2[2:], planes))
         states = {1: carry[1], 2: carry[2]}
 
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}

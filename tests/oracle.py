@@ -266,7 +266,11 @@ def diff_detect_block_oracle(c1, c2, octave_values, distance_in_px, st, pt,
                 p_best[m][will] = pval[will]
                 pair_best[m][will] = diff_pval[will]
                 Lp[m], Lc[m], mP[m], mC[m] = Lc[m], Ln[m], mC[m], mN
-            Lp[0], Lc[0] = Lc[0], Ln[0]
+            # NOTE: the difference map's Lc is intentionally NOT rolled —
+            # the reference inner loop reassigns Lc1/Lc2 but never Lc
+            # (diff_mustache.py:337 sets it once per octave; :413-425 roll
+            # only the per-map planes), so norm.fit and the differential
+            # p-values use the octave's frozen second DoG plane throughout
 
     if len(p_best[1]) < 10000 or len(p_best[2]) < 10000:
         return [], [], [], []

@@ -261,11 +261,11 @@ def main(argv=None):
 
     dist_bp = clamp_distance_filter(parse_bp(args.distFilter), res)
 
-    coordinator, nprocs, procid = resolve_distributed(args)
-    if nprocs > 1:
-        from mustache_tpu.sharding import initialize_distributed
-        initialize_distributed(coordinator, nprocs, procid)
-
+    # all fallible local validation happens BEFORE the jax.distributed
+    # rendezvous: a host that errors out here exits before the collective
+    # group forms, instead of stranding its peers at the parts-complete
+    # barrier at the end of the run (which only hosts that reach the main
+    # loop ever hit)
     chr_list, chr_list2, chrSize_in_bp = _chromosome_lists(args, f, res)
     if chr_list is None:
         return 1
@@ -277,6 +277,11 @@ def main(argv=None):
         else:
             print("Error: Couldn't find specified bias file")
             return 1
+
+    coordinator, nprocs, procid = resolve_distributed(args)
+    if nprocs > 1:
+        from mustache_tpu.sharding import initialize_distributed
+        initialize_distributed(coordinator, nprocs, procid)
 
     if args.profile_dir:
         import jax
@@ -347,8 +352,7 @@ def main(argv=None):
     for chromosome, chromosome2 in pairs:
         unit_name = str(chromosome) if chromosome == chromosome2 else \
             f"{chromosome}__x__{chromosome2}"
-        if manifest and args.resume and \
-                unit_name in manifest.completed_chromosomes():
+        if manifest and args.resume and unit_name in done:
             continue
         todo.append((chromosome, chromosome2, unit_name))
     if manifest and not args.resume:

@@ -556,6 +556,15 @@ def _resolve_pallas(cfg: DetectionConfig) -> bool:
     # dropping partials past lane 127
     if 2 * cfg.octaves * 10 > 128:
         return False
+    # the in-kernel convolution pads columns by CPAD=128 lanes; a ladder
+    # whose max blur radius reaches the pad (e.g. sigma0=1.6 -oc 6 ->
+    # R=220) cannot run fused — fall back instead of letting
+    # build_fused_mats raise
+    from mustache_tpu.kernels.fused_ladder import CPAD
+    from mustache_tpu.scalespace import kernel_radius, octave_sigmas
+    max_sigma = max(octave_sigmas(cfg.octave_values[-1]))
+    if kernel_radius(max_sigma) > CPAD - 1:
+        return False
     if cfg.use_pallas == "on":
         return True
     # "auto": the fused kernel wins on TPU (3.5x at N=2000/d=400, 2.5x at

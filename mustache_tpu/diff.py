@@ -274,15 +274,17 @@ def _finish_map(out, tag, *, start, spec):
         return passing, None
     cx = np.asarray(out[f"cand_x{tag}"])[with_enrich]
     cy = np.asarray(out[f"cand_y{tag}"])[with_enrich]
+    nlq = np.asarray(out[f"neigh_logq{tag}"])[with_enrich]
+    nsi = np.asarray(out[f"neigh_sigidx{tag}"])[with_enrich]
+    npair = np.asarray(out[f"neigh_pair{tag}"])[with_enrich]
+    nv1 = np.asarray(out[f"neigh_v1{tag}"])[with_enrich]
+    nv2 = np.asarray(out[f"neigh_v2{tag}"])[with_enrich]
     cands = []
     for i in range(len(cx)):
         cands.append({
             "x": int(cx[i]), "y": int(cy[i]),
-            "nlq": np.asarray(out[f"neigh_logq{tag}"])[with_enrich][i],
-            "nsi": np.asarray(out[f"neigh_sigidx{tag}"])[with_enrich][i],
-            "npair": np.asarray(out[f"neigh_pair{tag}"])[with_enrich][i],
-            "nv1": np.asarray(out[f"neigh_v1{tag}"])[with_enrich][i],
-            "nv2": np.asarray(out[f"neigh_v2{tag}"])[with_enrich][i],
+            "nlq": nlq[i], "nsi": nsi[i], "npair": npair[i],
+            "nv1": nv1[i], "nv2": nv2[i],
         })
     det_sigmas = spec.det_sigmas
     rows = []
@@ -314,8 +316,9 @@ def finish_diff_block(out: dict, *, start: int, cfg: DetectionConfig,
                       spec: LadderSpec):
     """Returns (loops1, diff_loops1, loops2, diff_loops2) row lists."""
     empty = ([], [], [], [])
-    if int(out["nz1_count"]) < cfg.min_nz or int(out["nz2_count"]) < cfg.min_nz:
-        return empty
+    # the reference's two bail-outs (nz<50 at diff_mustache.py:262-267 and
+    # the >=10000-support FDR gate at :428-436) collapse into the stricter
+    # one: min_tested >= min_nz always
     if int(out["nz1_count"]) < cfg.min_tested or \
             int(out["nz2_count"]) < cfg.min_tested:
         return empty
@@ -328,18 +331,17 @@ def finish_diff_block(out: dict, *, start: int, cfg: DetectionConfig,
     if rows1 is None or rows2 is None:
         return empty
 
-    def split(rows, own_v_key, other_v_key):
+    def split(rows, own):
         loops, diff_loops = [], []
         for _, row, pair, nv1, nv2 in rows:
             loops.append(row)
-            own = nv1 if own_v_key == 1 else nv2
-            other = nv2 if own_v_key == 1 else nv1
-            if pair < cfg.pt2 and own > other:
+            own_v, other_v = (nv1, nv2) if own == 1 else (nv2, nv1)
+            if pair < cfg.pt2 and own_v > other_v:
                 diff_loops.append(row)
         return loops, diff_loops
 
-    loops1, diff1 = split(rows1, 1, 2)
-    loops2, diff2 = split(rows2, 2, 1)
+    loops1, diff1 = split(rows1, 1)
+    loops2, diff2 = split(rows2, 2)
     return loops1, diff1, loops2, diff2
 
 
@@ -385,8 +387,12 @@ def find_diff_loops(x1, y1, v1, x2, y2, v2, *, resolution: int = 5000,
     """One-call differential API (twin of :func:`mustache_tpu.find_loops`):
     two COO contact maps in, list of ``(bin1, bin2, q, scale, tag)`` out
     with tag 1=loop1, 2=diffloop1, 3=loop2, 4=diffloop2
-    (diff_mustache.py:704-715)."""
+    (diff_mustache.py:704-715). The caller's arrays are left untouched
+    (the engine normalizes copies)."""
     from mustache_tpu.config import clamp_distance_filter
+
+    v1 = np.array(v1, dtype=np.float64)
+    v2 = np.array(v2, dtype=np.float64)
 
     cfg = DetectionConfig(
         resolution=resolution,
@@ -409,6 +415,11 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
 
     ``runner``: optional callable ``(detector, (b1, b2)) -> outputs`` used
     by the sharded driver; defaults to direct invocation.
+
+    Engine-level API: when ``normalize`` is True and ``v1``/``v2`` are
+    float64, the z-score mutates the caller's arrays IN PLACE (the CLI
+    owns its triplets). Use ``find_diff_loops`` — which copies — if you
+    need them preserved.
     """
     from mustache_tpu.config import block_mask_sizes, chunk_grid
     from mustache_tpu.normalize import normalize_sparse

@@ -120,7 +120,10 @@ def main(argv=None):
                   f"{ingest_err}")
             failed_units.append(str(chromosome))
             continue
-        if f1.endswith(".cool") and f2.endswith(".cool") and res_eff != res2:
+        # reference check (diff_mustache.py:614-616): whenever f2 is .cool,
+        # its binsize must equal the effective resolution (the CLI -r, or
+        # f1's binsize when f1 is .cool)
+        if f2.endswith(".cool") and res_eff != res2:
             raise ValueError("Both contact maps should have the same resolution.")
 
         cfg = DetectionConfig(
@@ -136,6 +139,14 @@ def main(argv=None):
             for sfx in SUFFIXES.values():
                 with open(args.outdir + sfx, "w") as out:
                     out.write(HEADER)
+
+        if not rows:
+            # reference prints the plain count line and skips the counters
+            # line for empty chromosomes (diff_mustache.py:865-869)
+            print("0 loops found for chrmosome={0}, fdr<{1} in {2}sec".format(
+                chromosome, args.pt, "%.2f" % (time.time() - start_time)))
+            start_time = time.time()
+            continue
 
         counters = {1: 0, 2: 0, 3: 0, 4: 0}
         handles = {t: open(args.outdir + sfx, "a")

@@ -188,22 +188,26 @@ int mtpu_normalize_coo(const int64_t* xs, const int64_t* ys, double* v,
 // over the COO triplets (no intermediate mask/gather allocations — this
 // replaces four 18M-element numpy passes on the throttled-host path).
 // Index arrays are int32 or int64 (xy_is64), values float32 or float64
-// (v_is64). Entries are assumed unique (ingest guarantees it), so chunked
-// threads cannot race on a cell.
+// (v_is64). Threads partition by ROW ownership (each scans all entries but
+// writes only rows [r0, r1)): duplicate (x, y) triplets — legal in text /
+// HiC-Pro input — are then written by exactly one thread in input order,
+// preserving the last-write-wins semantics of the reference densify
+// (mustache.py:923) with no data race.
 int mtpu_fill_band(const void* xs, const void* ys, int32_t xy_is64,
                    const void* vs, int32_t v_is64, int64_t n_entries,
                    float* band, int64_t n_rows, int64_t ldb,
                    int32_t n_threads) {
   if (n_entries < 0 || ldb <= 0) return -1;
-  auto run = [&](int64_t e0, int64_t e1) {
+  auto run = [&](int64_t r0, int64_t r1) {
     const int32_t* x32 = static_cast<const int32_t*>(xs);
     const int32_t* y32 = static_cast<const int32_t*>(ys);
     const int64_t* x64 = static_cast<const int64_t*>(xs);
     const int64_t* y64 = static_cast<const int64_t*>(ys);
     const float* v32 = static_cast<const float*>(vs);
     const double* v64 = static_cast<const double*>(vs);
-    for (int64_t e = e0; e < e1; ++e) {
+    for (int64_t e = 0; e < n_entries; ++e) {
       const int64_t x = xy_is64 ? x64[e] : static_cast<int64_t>(x32[e]);
+      if (x < r0 || x >= r1) continue;
       const int64_t y = xy_is64 ? y64[e] : static_cast<int64_t>(y32[e]);
       const int64_t d = y - x;
       if (d < 0 || d >= ldb || x < 0 || x >= n_rows) continue;
@@ -212,16 +216,16 @@ int mtpu_fill_band(const void* xs, const void* ys, int32_t xy_is64,
     }
   };
   if (n_threads <= 1 || n_entries < (1 << 16)) {
-    run(0, n_entries);
+    run(0, n_rows);
     return 0;
   }
-  const int64_t chunk = (n_entries + n_threads - 1) / n_threads;
+  const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
   std::vector<std::thread> pool;
   for (int32_t t = 0; t < n_threads; ++t) {
-    const int64_t e0 = t * chunk;
-    const int64_t e1 = std::min(n_entries, e0 + chunk);
-    if (e0 >= e1) break;
-    pool.emplace_back(run, e0, e1);
+    const int64_t r0 = t * chunk;
+    const int64_t r1 = std::min(n_rows, r0 + chunk);
+    if (r0 >= r1) break;
+    pool.emplace_back(run, r0, r1);
   }
   for (auto& th : pool) th.join();
   return 0;

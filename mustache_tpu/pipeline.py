@@ -101,6 +101,11 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
 
     ``runner``: optional callable ``(detector, blocks[B,N,N]) -> outputs``
     used by the sharded driver; defaults to direct invocation.
+
+    Engine-level API: when ``normalize`` is True and ``v`` is float64, the
+    z-score is applied to the caller's array IN PLACE (the CLI owns its
+    triplets and this avoids a copy at 1kb genome scale). Use the public
+    ``find_loops`` wrapper — which copies — if you need ``v`` preserved.
     """
     import jax
 
@@ -265,7 +270,8 @@ def find_loops(x, y, v, *, resolution: int = 5000, distance_bp: int = 2_000_000,
                pt: float = 0.2, st: float = 0.88, sigma0: float = 1.6,
                octaves: int = 2, precision: str = "float32",
                normalize: bool = True) -> list[Loop]:
-    """One-call API: COO contact map in, loop calls out."""
+    """One-call API: COO contact map in, loop calls out. The caller's
+    arrays are left untouched (the engine normalizes a copy)."""
     from mustache_tpu.config import clamp_distance_filter
 
     cfg = DetectionConfig(
@@ -273,4 +279,5 @@ def find_loops(x, y, v, *, resolution: int = 5000, distance_bp: int = 2_000_000,
         distance_bp=clamp_distance_filter(distance_bp, resolution),
         pt=pt, st=st, sigma0=sigma0, octaves=octaves, precision=precision,
     )
-    return detect_loops_coo(x, y, v, cfg, normalize=normalize)
+    return detect_loops_coo(x, y, np.array(v, dtype=np.float64), cfg,
+                            normalize=normalize)

@@ -74,3 +74,20 @@ def test_diff_cli_unit_failure_isolated(cond_files, tmp_path, capsys):
               open(out + ".loop1").read().splitlines()[1:]}
     assert chroms == {"21"}
     assert "failed after retries: 20" in capsys.readouterr().out
+
+
+def test_diff_cli_resolution_mismatch_raises(cond_files, tmp_path):
+    """f2 .cool with a binsize different from the effective resolution must
+    raise, even when f1 is text (reference: diff_mustache.py:614-616)."""
+    pytest.importorskip("h5py")
+    from test_cool import build_cool
+    from synthetic import synthetic_hic as syn
+
+    x, y, v, _ = syn(300, 60, seed=5, n_loops=4)
+    cool10kb = str(tmp_path / "c2_10kb.cool")
+    # cooler chrom lookup is exact-name (reference mustache.py:437), so the
+    # file's names must match the -ch arguments verbatim
+    build_cool(cool10kb, [("20", 300 * 10000), ("21", 300 * 10000)],
+               10000, {"20": (x, y, v), "21": (x, y, v)})
+    with pytest.raises(ValueError, match="same resolution"):
+        _run([cond_files[0], cool10kb], str(tmp_path / "mx"))

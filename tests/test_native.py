@@ -109,3 +109,30 @@ def test_normalize_coo_lower_triangle_safe():
     _, sk = native.normalize_coo(xb, yb, vv, n, 100, 400)
     assert sk == 2
     np.testing.assert_array_equal(vv, vb)
+
+
+def test_fill_band_duplicate_triplets_deterministic():
+    """Duplicate (x, y) triplets — legal in text/HiC-Pro input — must
+    resolve last-write-wins deterministically across threads (the native
+    scatter partitions by row ownership, not entry ranges)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n, Dl = 5000, 132
+    m = 300_000  # above the 1<<16 single-thread cutoff
+    x = rng.integers(0, n, m).astype(np.int64)
+    d = rng.integers(0, Dl, m).astype(np.int64)
+    y = x + d
+    v = rng.random(m).astype(np.float64)
+    # repeat half the entries at the tail with new values: the tail copy
+    # must win everywhere, every run
+    x = np.concatenate([x, x[: m // 2]])
+    y = np.concatenate([y, y[: m // 2]])
+    v = np.concatenate([v, rng.random(m // 2)])
+
+    ref = np.zeros((n, Dl), np.float32)
+    ref[x, y - x] = v  # numpy fancy assignment scatters in input order
+    for _ in range(3):
+        band = np.zeros((n, Dl), np.float32)
+        assert native.fill_band(x, y, v, band)
+        np.testing.assert_array_equal(band, ref)

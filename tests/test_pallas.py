@@ -144,3 +144,27 @@ def test_pallas_matches_xla_path_three_octaves():
         got["cand_x"], got["cand_y"], got["cand_sigidx"], got["cand_valid"])
         if ok}
     assert rset == gset and len(rset) > 0
+
+
+def test_resolve_pallas_radius_gate():
+    """Ladders whose blur radius exceeds the kernel's column pad must fall
+    back to the XLA path (not raise inside build_fused_mats)."""
+    from mustache_tpu.detect import _resolve_pallas
+    from mustache_tpu.kernels.fused_ladder import CPAD
+    from mustache_tpu.scalespace import kernel_radius, octave_sigmas
+
+    for sigma0, octaves in [(1.6, 6), (3.0, 5)]:
+        cfg = DetectionConfig(resolution=5000, distance_bp=64 * 5000,
+                              precision="float32", sigma0=sigma0,
+                              octaves=octaves, use_pallas="on")
+        assert kernel_radius(max(octave_sigmas(cfg.octave_values[-1]))) \
+            > CPAD - 1
+        assert _resolve_pallas(cfg) is False
+        # and the detector builds + runs on the XLA path
+        det = build_detector(cfg, 192)
+        out = det.fn_single(np.zeros((192, 192), np.float32))
+        assert int(out["nz_count"]) == 0
+    # the default ladder still resolves per use_pallas
+    cfg = DetectionConfig(resolution=5000, distance_bp=64 * 5000,
+                          precision="float32", use_pallas="on")
+    assert _resolve_pallas(cfg) is True

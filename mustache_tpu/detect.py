@@ -186,6 +186,52 @@ def _bh_lookup(sp, qs, vals):
     return qs[pos]
 
 
+def _pack_batched(out: dict):
+    """Pack a batched output dict into two arrays — one for float leaves,
+    one for int/bool leaves (value-cast to int32) — so a batch's results
+    cross the host link as TWO transfers instead of one per leaf. The
+    transfer link costs ~30ms latency per D2H regardless of size, so the
+    ~13 (single-map) / ~34 (differential) per-leaf fetches dominate the
+    per-batch finish time on tunneled links; two fixed-layout buffers cut
+    that to 2 round-trips. Layout must match :func:`_out_spec` (both walk
+    keys in sorted order)."""
+    fparts, iparts = [], []
+    for k in sorted(out):
+        a = out[k]
+        flat = a.reshape(a.shape[0], -1)
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            fparts.append(flat)
+        else:
+            iparts.append(flat.astype(jnp.int32))
+    return jnp.concatenate(fparts, axis=1), jnp.concatenate(iparts, axis=1)
+
+
+def _out_spec(shapes: dict):
+    """Host-side layout for :func:`_pack_batched`:
+    ``key -> (shape, dtype, buffer, offset, size)`` with per-block shapes
+    (no batch dim). Int values survive the int32 buffer exactly (they are
+    indices/counts/flags, all within int32); floats keep their own width."""
+    spec = {}
+    offs = {"f": 0, "i": 0}
+    for k in sorted(shapes):
+        s = shapes[k]
+        size = int(np.prod(s.shape, dtype=np.int64)) if s.shape else 1
+        buf = "f" if np.issubdtype(s.dtype, np.floating) else "i"
+        spec[k] = (s.shape, s.dtype, buf, offs[buf], size)
+        offs[buf] += size
+    return spec
+
+
+def unpack_block(spec, frow, irow):
+    """Rebuild one block's output dict from its packed rows (host side)."""
+    out = {}
+    for k, (shape, dtype, buf, off, size) in spec.items():
+        row = frow if buf == "f" else irow
+        a = row[off:off + size].reshape(shape)
+        out[k] = a if a.dtype == dtype else a.astype(dtype)
+    return out
+
+
 def _box_counts(ii, x, y, s, N):
     """Window sums of ``nz`` over [x-s, x+s+1) x [y-s, y+s+1) with numpy
     slice semantics: a negative start makes the slice empty (count 0),
@@ -211,6 +257,8 @@ class BlockDetector:
     _fn: Any         # jitted ([B, N, N], st, log_pt) -> dict of arrays
     _fn_single: Any  # jitted ([N, N], st, log_pt) -> dict of arrays
     _fn_band: Any    # jitted ([rows, Dl] band, [B] starts, st, log_pt)
+    _fn_band_packed: Any  # fn_band with _pack_batched outputs
+    out_spec: Any    # _out_spec layout for unpack_block
 
     @property
     def _scalars(self):
@@ -231,6 +279,14 @@ class BlockDetector:
         sliced and densified on device."""
         st, lp = self._scalars
         return self._fn_band(band, starts, st, lp)
+
+    def fn_band_packed(self, band, starts):
+        """``fn_band`` with the outputs packed into (floats, ints) device
+        buffers — ONE D2H per buffer instead of one per output leaf; host
+        side rebuilds each block's dict with ``unpack_block(out_spec,
+        floats[bi], ints[bi])``."""
+        st, lp = self._scalars
+        return self._fn_band_packed(band, starts, st, lp)
 
     def __call__(self, blocks):
         return self.fn(blocks)
@@ -633,8 +689,14 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         return fn_base(blocks, st, log_pt)
 
     fn_band = jax.jit(fn_band_base)
+    fn_band_packed = jax.jit(
+        lambda band, starts, st, lp: _pack_batched(
+            fn_band_base(band, starts, st, lp)))
     fn_single = jax.jit(one)
-    return spec, fn, fn_single, fn_band
+    out_shapes = jax.eval_shape(
+        one, jax.ShapeDtypeStruct((n, n), dtype),
+        jax.ShapeDtypeStruct((), dtype), jax.ShapeDtypeStruct((), dtype))
+    return spec, fn, fn_single, fn_band, fn_band_packed, _out_spec(out_shapes)
 
 
 def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
@@ -645,12 +707,14 @@ def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
         # layout here additionally assumes the intra distance bound
         raise NotImplementedError("inter-chromosomal detection not supported")
     # cache key holds only graph-shaping fields: thresholds are runtime args
-    spec, fn, fn_single, fn_band = _build_detector_cached(
-        cfg.octave_values, cfg.precision, cfg.distance_px, n,
-        max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
-        getattr(cfg, "_pallas_interpret", False))
+    spec, fn, fn_single, fn_band, fn_band_packed, out_spec = \
+        _build_detector_cached(
+            cfg.octave_values, cfg.precision, cfg.distance_px, n,
+            max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
+            getattr(cfg, "_pallas_interpret", False))
     return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single,
-                         _fn_band=fn_band)
+                         _fn_band=fn_band, _fn_band_packed=fn_band_packed,
+                         out_spec=out_spec)
 
 
 # ---------------------------------------------------------------------------

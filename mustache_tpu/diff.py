@@ -36,6 +36,7 @@ from jax import lax
 from mustache_tpu.config import DetectionConfig
 from mustache_tpu.detect import (
     SENTINEL, _BandGeom, _band_candidates, _blur_ladder, _cluster_components,
+    _out_spec, _pack_batched, unpack_block,
 )
 from mustache_tpu.scalespace import LadderSpec, build_ladder
 
@@ -191,6 +192,8 @@ class DiffBlockDetector:
     _fn: Any
     _fn_single: Any
     _fn_band: Any
+    _fn_band_packed: Any
+    out_spec: Any
 
     @property
     def _scalars(self):
@@ -210,6 +213,13 @@ class DiffBlockDetector:
         conditions (see detect.BlockDetector.fn_band)."""
         st, lp = self._scalars
         return self._fn_band(band1, band2, starts, st, lp)
+
+    def fn_band_packed(self, band1, band2, starts):
+        """``fn_band`` packed into (floats, ints) buffers — 2 D2H per batch
+        instead of ~34 (see detect.BlockDetector.fn_band_packed); unpack
+        with ``detect.unpack_block(out_spec, floats[bi], ints[bi])``."""
+        st, lp = self._scalars
+        return self._fn_band_packed(band1, band2, starts, st, lp)
 
 
 @functools.lru_cache(maxsize=16)
@@ -242,19 +252,30 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
         return jax.vmap(
             lambda s: one(blk(band1, s), blk(band2, s), st, log_pt))(starts)
 
+    out_shapes = jax.eval_shape(
+        one, jax.ShapeDtypeStruct((n, n), dtype),
+        jax.ShapeDtypeStruct((n, n), dtype),
+        jax.ShapeDtypeStruct((), dtype), jax.ShapeDtypeStruct((), dtype))
+    fn_band_packed = jax.jit(
+        lambda b1, b2, starts, st, lp: _pack_batched(
+            fn_band_base(b1, b2, starts, st, lp)))
     return (spec, jax.jit(jax.vmap(one, in_axes=(0, 0, None, None))),
-            jax.jit(one), jax.jit(fn_band_base))
+            jax.jit(one), jax.jit(fn_band_base), fn_band_packed,
+            _out_spec(out_shapes))
 
 
 def build_diff_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
                         max_candidates: int | None = None) -> DiffBlockDetector:
     if not intra:
         raise NotImplementedError("inter-chromosomal detection not supported")
-    spec, fn, fn_single, fn_band = _build_diff_detector_cached(
-        cfg.octave_values, cfg.precision, cfg.distance_px, n,
-        max_candidates or cfg.max_candidates)
+    spec, fn, fn_single, fn_band, fn_band_packed, out_spec = \
+        _build_diff_detector_cached(
+            cfg.octave_values, cfg.precision, cfg.distance_px, n,
+            max_candidates or cfg.max_candidates)
     return DiffBlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn,
-                             _fn_single=fn_single, _fn_band=fn_band)
+                             _fn_single=fn_single, _fn_band=fn_band,
+                             _fn_band_packed=fn_band_packed,
+                             out_spec=out_spec)
 
 
 # ---------------------------------------------------------------------------
@@ -361,8 +382,8 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
         per_block = 135 * n * n * itemsize
         cap = max(1, min(4, int(6e9 // per_block)))
     cap = min(cap, max(nblocks, 1))
-    return min(range(1, cap + 1),
-               key=lambda b: (-(-nblocks // b) * b, -b))
+    from mustache_tpu.pipeline import _pick_batch
+    return _pick_batch(nblocks, cap)
 
 
 def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig,
@@ -518,7 +539,8 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         if bands_dev is not None:
             starts = np.asarray(
                 [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
-            return idxs, det.fn_band(bands_dev[0], bands_dev[1], starts)
+            return idxs, det.fn_band_packed(bands_dev[0], bands_dev[1],
+                                            starts)
         b1 = np.zeros((B, width, width), dtype=dtype)
         b2 = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
@@ -533,15 +555,21 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         from a host densify of the (host-normalized) COO triplets."""
         det2 = build_diff_detector(cfg, width, max_candidates=cap)
         if bands_dev is not None:
-            out = det2.fn_band(bands_dev[0], bands_dev[1],
-                               np.asarray([start[i]], np.int32))
-            return jax.tree.map(lambda a: np.asarray(a[0]), out)
+            fl, il = det2.fn_band_packed(bands_dev[0], bands_dev[1],
+                                         np.asarray([start[i]], np.int32))
+            return unpack_block(det2.out_spec, np.asarray(fl[0]),
+                                np.asarray(il[0]))
         return jax.tree.map(np.asarray, det2.fn_single(*host_blocks(i)))
 
     def finish(idxs, out):
-        out = jax.tree.map(np.asarray, out)
+        if isinstance(out, tuple):     # packed band path: 2 D2H per batch
+            fh, ih = np.asarray(out[0]), np.asarray(out[1])
+            get = lambda bi: unpack_block(det.out_spec, fh[bi], ih[bi])
+        else:                          # runner path: dict of device arrays
+            out = jax.tree.map(np.asarray, out)
+            get = lambda bi: jax.tree.map(lambda a: a[bi], out)
         for bi, i in enumerate(idxs):
-            block_out = jax.tree.map(lambda a: a[bi], out)
+            block_out = get(bi)
             block_out = _maybe_regrow_diff(
                 block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
             groups = finish_diff_block(block_out, start=start[i], cfg=cfg,

@@ -18,7 +18,9 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from mustache_tpu.config import DetectionConfig, chunk_grid, block_mask_sizes
-from mustache_tpu.detect import band_width, build_detector, finish_block
+from mustache_tpu.detect import (
+    band_width, build_detector, finish_block, unpack_block,
+)
 from mustache_tpu.normalize import normalize_sparse
 
 
@@ -87,11 +89,19 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
         per_block = 45 * n * n * 4
         cap = max(1, min(4, int(4e9 // per_block)))
     cap = min(cap, max(nblocks, 1))
-    # a trailing partial batch is zero-padded to B and the padded slots are
-    # full block computes: pick the B <= cap minimizing total computes
-    # ceil(nblocks/B)*B, tie-breaking toward the larger batch
+    return _pick_batch(nblocks, cap)
+
+
+def _pick_batch(nblocks: int, cap: int) -> int:
+    """Batch size B <= cap minimizing LAUNCH COUNT first (each launch pays
+    a fixed latency floor: dispatch + the flat BH sort + the output
+    round-trip), then total block computes (a trailing partial batch is
+    zero-padded to B and the pad slots are full computes), then preferring
+    the larger batch. Compute-count-first is a trap: 17 blocks would pick
+    B=1 (17 computes, 17 launches) over B=6 (18 computes, 3 launches) and
+    run 5x slower on latency-dominated links."""
     return min(range(1, cap + 1),
-               key=lambda b: (-(-nblocks // b) * b, -b))
+               key=lambda b: (-(-nblocks // b), -(-nblocks // b) * b, -b))
 
 
 def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
@@ -194,7 +204,7 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         if band_dev is not None:
             starts = np.asarray(
                 [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
-            return idxs, detector.fn_band(band_dev, starts)
+            return idxs, detector.fn_band_packed(band_dev, starts)
         blocks = np.zeros((B, width, width), dtype=dtype)
         for bi, i in enumerate(idxs):
             blocks[bi] = host_block(i)
@@ -208,14 +218,21 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         from a host densify of the (host-normalized) COO triplets."""
         det = build_detector(cfg, width, max_candidates=cap)
         if band_dev is not None:
-            out = det.fn_band(band_dev, np.asarray([start[i]], np.int32))
-            return jax.tree.map(lambda a: np.asarray(a[0]), out)
+            fl, il = det.fn_band_packed(
+                band_dev, np.asarray([start[i]], np.int32))
+            return unpack_block(det.out_spec, np.asarray(fl[0]),
+                                np.asarray(il[0]))
         return jax.tree.map(np.asarray, det.fn_single(host_block(i)))
 
     def finish(idxs, out):
-        out = jax.tree.map(np.asarray, out)
+        if isinstance(out, tuple):     # packed band path: 2 D2H per batch
+            fh, ih = np.asarray(out[0]), np.asarray(out[1])
+            get = lambda bi: unpack_block(detector.out_spec, fh[bi], ih[bi])
+        else:                          # runner path: dict of device arrays
+            out = jax.tree.map(np.asarray, out)
+            get = lambda bi: jax.tree.map(lambda a: a[bi], out)
         for bi, i in enumerate(idxs):
-            block_out = jax.tree.map(lambda a: a[bi], out)
+            block_out = get(bi)
             block_out = _maybe_regrow(
                 block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
             rows = finish_block(

@@ -166,16 +166,26 @@ def _build_norm_fn(rows: int, Dl: int, n: int, resolution: int,
                    distance_in_px: int):
     import jax
 
+    import jax.numpy as jnp
+
     local = (n - distance_in_px) * resolution > 2_000_000
     if local:
         F = int(2_000_000 / resolution)
         Dv = min(2 + distance_in_px, n)
         short_cols = n - (Dl - 1) < F  # any diagonal shorter than the window
-        fn = functools.partial(_normalize_band_local, n=n, F=F, Dv=Dv,
-                               rows=rows, short_cols=short_cols)
+        inner = functools.partial(_normalize_band_local, n=n, F=F, Dv=Dv,
+                                  rows=rows, short_cols=short_cols)
     else:
-        fn = functools.partial(_normalize_band_global,
-                               dpx=min(distance_in_px, n))
+        inner = functools.partial(_normalize_band_global,
+                                  dpx=min(distance_in_px, n))
+
+    def fn(band):
+        # compact-transfer path: raw integer counts upload as uint16 (half
+        # the H2D bytes) and widen to f32 here — lossless, ints < 2^16
+        if band.dtype == jnp.uint16:
+            band = band.astype(jnp.float32)
+        return inner(band)
+
     # donate: the raw band is dead after this call (2GB at 1kb genome scale)
     return jax.jit(fn, donate_argnums=0)
 

@@ -470,11 +470,11 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     device_norm = (normalize and not exact_normalize
                    and dtype == np.float32)
 
+    # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
+    from mustache_tpu.detect import band_width
+    shape = (max(n, width), band_width(width, d_px))
     bands = None
-    if runner is None or device_norm:
-        # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
-        from mustache_tpu.detect import band_width
-        shape = (max(n, width), band_width(width, d_px))
+    if runner is None and not device_norm:
         bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
 
     def fill_raw(x, y, v, band):
@@ -502,11 +502,14 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     bands_host = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device
+        from mustache_tpu.pipeline import fill_raw_band
 
-        fill_raw(x1, y1, v1, bands[0])
-        fill_raw(x2, y2, v2, bands[1])
-        norm = (normalize_band_device(bands[0], n1, cfg.resolution, d_px)[0],
-                normalize_band_device(bands[1], n2, cfg.resolution, d_px)[0])
+        # raw integer counts upload as uint16 (half the bytes), per
+        # condition — see pipeline.fill_raw_band
+        raw = (fill_raw_band(x1, y1, v1, shape),
+               fill_raw_band(x2, y2, v2, shape))
+        norm = (normalize_band_device(raw[0], n1, cfg.resolution, d_px)[0],
+                normalize_band_device(raw[1], n2, cfg.resolution, d_px)[0])
         if runner is None:
             bands_dev = norm
         else:

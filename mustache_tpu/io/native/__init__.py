@@ -25,12 +25,22 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    stale = not os.path.exists(_LIB_PATH)
+    if not stale:
+        # rebuild when any source is newer than the library (cheap stats;
+        # keeps an old .so from shadowing newly added entry points)
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        stale = any(
+            f.endswith((".cpp", ".h")) and
+            os.path.getmtime(os.path.join(_DIR, f)) > lib_mtime
+            for f in os.listdir(_DIR))
+    if stale:
         try:
             subprocess.run(["make", "-C", _DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -76,6 +86,29 @@ def _load():
         ctypes.c_int64,
         ctypes.c_int32,
     ]
+    try:
+        lib.mtpu_fill_band_u16.restype = ctypes.c_int
+        lib.mtpu_fill_band_u16.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.mtpu_values_fit_u16.restype = ctypes.c_int
+        lib.mtpu_values_fit_u16.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+    except AttributeError:
+        # stale .so from before the u16 path existed: trigger a rebuild
+        # next interpreter, keep the f32 path this run
+        lib._mtpu_no_u16 = True
     _lib = lib
     return _lib
 
@@ -165,4 +198,37 @@ def fill_band(x, y, v, band_out, n_threads=8) -> bool:
         int(n_threads))
     if rc != 0:
         raise RuntimeError(f"native fill_band failed (rc={rc})")
+    return True
+
+
+def values_fit_u16(v, n_threads=8):
+    """True when every value is a non-negative integer < 65536 (raw count
+    data) — the gate for the half-width uint16 band transfer. Returns None
+    when the native library is unavailable (caller decides via numpy)."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_u16", False):
+        return None
+    if v.dtype != np.float64 or not v.flags.c_contiguous:
+        return None
+    return bool(lib.mtpu_values_fit_u16(v, len(v), int(n_threads)))
+
+
+def fill_band_u16(x, y, v, band_out, n_threads=8) -> bool:
+    """uint16 twin of :func:`fill_band` (band_out dtype uint16); the caller
+    must have established eligibility with :func:`values_fit_u16`."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_u16", False):
+        return False
+    if (x.dtype != y.dtype or x.dtype not in (np.int32, np.int64)
+            or v.dtype != np.float64 or band_out.dtype != np.uint16
+            or not (x.flags.c_contiguous and y.flags.c_contiguous
+                    and v.flags.c_contiguous and band_out.flags.c_contiguous)):
+        return False
+    rc = lib.mtpu_fill_band_u16(
+        x.ctypes.data_as(ctypes.c_void_p), y.ctypes.data_as(ctypes.c_void_p),
+        1 if x.dtype == np.int64 else 0,
+        v, len(v), band_out, band_out.shape[0], band_out.shape[1],
+        int(n_threads))
+    if rc != 0:
+        raise RuntimeError(f"native fill_band_u16 failed (rc={rc})")
     return True

@@ -67,6 +67,31 @@ def densify_from_band(band: np.ndarray, start: int, width: int) -> np.ndarray:
     return out
 
 
+def fill_raw_band(x, y, v, band_shape) -> np.ndarray:
+    """Scatter-fill the RAW chromosome band for the device-normalize path.
+
+    Raw integer counts < 2^16 (every unbiased text/.hic/.cool workload)
+    travel as a uint16 band — HALF the H2D bytes of f32 — and are widened
+    to f32 on device (bandnorm), which is lossless for such values, so the
+    loop calls are bit-identical to the f32-band transfer. Non-integer or
+    large values (bias-divided, balanced) keep the f32 band."""
+    from mustache_tpu.io import native
+
+    fit = native.values_fit_u16(v)
+    if fit is None:   # native library unavailable: decide with numpy
+        fit = (v.size > 0 and float(v.min()) >= 0.0
+               and float(v.max()) < 65536.0
+               and not np.any(v != np.floor(v)))
+    band = np.zeros(band_shape, np.uint16 if fit else np.float32)
+    filled = (native.fill_band_u16(x, y, v, band) if fit
+              else native.fill_band(x, y, v, band))
+    if not filled:
+        d_arr = y - x
+        sel = (d_arr >= 0) & (d_arr < band.shape[1])
+        band[x[sel], d_arr[sel]] = v[sel]
+    return band
+
+
 def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
                 nblocks: int) -> int:
     if cfg.block_batch:
@@ -145,26 +170,23 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # blocks from it) so sharded and unsharded runs see identical values.
     device_norm = (normalize and not exact_normalize
                    and dtype == np.float32)
+    # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
+    # bytes than the dense blocks, the dominant cost on PCIe/tunneled
+    # links); each block is sliced + densified on device (fn_band).
+    # Entries beyond Dl >= d_px+4 cannot exist after the ingest
+    # distance filters (<= d_px+1); the public-API corner where they
+    # do would land in the sentinel wedge either way.
+    band_shape = (max(n, width), band_width(width, d_px))
     band = None
-    if runner is None or device_norm:
-        # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
-        # bytes than the dense blocks, the dominant cost on PCIe/tunneled
-        # links); each block is sliced + densified on device (fn_band).
-        # Entries beyond Dl >= d_px+4 cannot exist after the ingest
-        # distance filters (<= d_px+1); the public-API corner where they
-        # do would land in the sentinel wedge either way.
-        band = np.zeros((max(n, width), band_width(width, d_px)), dtype=dtype)
+    if runner is None and not device_norm:
+        band = np.zeros(band_shape, dtype=dtype)
 
     band_dev = None
     band_host = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device
-        from mustache_tpu.io import native
 
-        if not native.fill_band(x, y, v, band):
-            d_arr = y - x
-            sel = (d_arr >= 0) & (d_arr < band.shape[1])
-            band[x[sel], d_arr[sel]] = v[sel]
+        band = fill_raw_band(x, y, v, band_shape)
         band_norm, _ = normalize_band_device(band, n, cfg.resolution, d_px)
         if runner is None:
             band_dev = band_norm

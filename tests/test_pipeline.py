@@ -61,3 +61,54 @@ def test_empty_input():
     cfg = DetectionConfig(resolution=5000, distance_bp=600_000)
     assert detect_loops_coo(
         np.array([], np.int64), np.array([], np.int64), np.array([]), cfg) == []
+
+
+def test_u16_band_transfer_parity():
+    """Integer-count maps travel as a uint16 raw band (half the H2D bytes);
+    the on-device f32 widening is lossless so loop calls must be identical
+    to the f32-band transfer (pipeline.fill_raw_band)."""
+    import mustache_tpu.pipeline as P
+    from mustache_tpu.io import native
+
+    d_px = 200
+    x, y, v, _ = synthetic_hic(2500, d_px, seed=33, n_loops=40)
+    v = np.floor(np.abs(v)) + 1.0          # raw-count-shaped values
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          pt=0.1, st=0.8, precision="float32")
+
+    band = P.fill_raw_band(x, y, v, (2500, 256))
+    assert band.dtype == np.uint16         # the compact path engaged
+
+    got_u16 = detect_loops_coo(x, y, v.copy(), cfg)
+
+    def f32_only(x, y, v, shape):
+        band = np.zeros(shape, np.float32)
+        if not native.fill_band(x, y, v, band):
+            sel = (y - x >= 0) & ((y - x) < band.shape[1])
+            band[x[sel], (y - x)[sel]] = v[sel]
+        return band
+
+    orig = P.fill_raw_band
+    P.fill_raw_band = f32_only
+    try:
+        got_f32 = detect_loops_coo(x, y, v.copy(), cfg)
+    finally:
+        P.fill_raw_band = orig
+    assert len(got_u16) > 0
+    assert got_u16 == got_f32
+
+
+def test_u16_band_gate():
+    """Non-integer, negative, or >= 2^16 values must keep the f32 band."""
+    import mustache_tpu.pipeline as P
+
+    x = np.array([0, 1], np.int64)
+    y = np.array([5, 6], np.int64)
+    for bad in ([1.5, 2.0], [-1.0, 2.0], [70000.0, 2.0]):
+        band = P.fill_raw_band(x, y, np.array(bad, np.float64), (10, 128))
+        assert band.dtype == np.float32
+        assert band[0, 5] == np.float32(bad[0])
+    band = P.fill_raw_band(x, y, np.array([3.0, 65535.0], np.float64),
+                           (10, 128))
+    assert band.dtype == np.uint16
+    assert band[1, 5] == 65535

@@ -163,7 +163,7 @@ def _normalize_band_global(band, *, dpx):
 
 @functools.lru_cache(maxsize=32)
 def _build_norm_fn(rows: int, Dl: int, n: int, resolution: int,
-                   distance_in_px: int):
+                   distance_in_px: int, donate: bool = True):
     import jax
 
     import jax.numpy as jnp
@@ -186,8 +186,11 @@ def _build_norm_fn(rows: int, Dl: int, n: int, resolution: int,
             band = band.astype(jnp.float32)
         return inner(band)
 
-    # donate: the raw band is dead after this call (2GB at 1kb genome scale)
-    return jax.jit(fn, donate_argnums=0)
+    # donate: the raw band is dead after this call (2GB at 1kb genome scale).
+    # f32-path only — a donated uint16 buffer can't back the f32 output, so
+    # the caller disables donation for compact transfers (avoids XLA's
+    # 'donated buffer was not usable' warning on every compile).
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def normalize_band_device(band_raw, n: int, resolution: int,
@@ -201,7 +204,8 @@ def normalize_band_device(band_raw, n: int, resolution: int,
     import jax
 
     rows, Dl = band_raw.shape
-    fn = _build_norm_fn(rows, Dl, n, resolution, distance_in_px)
+    donate = np.dtype(band_raw.dtype) != np.uint16
+    fn = _build_norm_fn(rows, Dl, n, resolution, distance_in_px, donate)
     if not isinstance(band_raw, jax.Array):
         band_raw = jax.device_put(band_raw)
     return fn(band_raw)

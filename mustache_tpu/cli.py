@@ -170,30 +170,29 @@ def parse_args(argv):
 def _chromosome_lists(args, f, res):
     """Chromosome discovery, mirroring mustache.py:979-1054."""
     chrSize_in_bp = False
+    chr_list = None
     if not args.chromosome or args.chromosome == "n":
         if f.endswith(".cool") or f.endswith(".mcool"):
             from mustache_tpu.io.cool import cool_chrom_list
             chr_list = cool_chrom_list(f, res if f.endswith(".mcool") else None)
-        elif f.endswith(".hic"):
-            from mustache_tpu.io.hic import HicFile
-            hic = HicFile(f)
-            chr_list = [c.name for c in hic.chromosomes[1:]]
-            chrSize_in_bp = {
-                "chr" + normalize_chrom(c.name): c.length
-                for c in hic.chromosomes[1:]
-            }
-        else:
+        elif not f.endswith(".hic"):
             print("Error: Please enter the chromosome name.")
             return None, None, None
     else:
         chr_list = list(args.chromosome)
-    if f.endswith(".hic") and not chrSize_in_bp:
+    if f.endswith(".hic") and (chr_list is None or not chrSize_in_bp):
+        # one open serves both discovery and sizes; always closed
         from mustache_tpu.io.hic import HicFile
         hic = HicFile(f)
-        chrSize_in_bp = {
-            "chr" + normalize_chrom(c.name): c.length
-            for c in hic.chromosomes[1:]
-        }
+        try:
+            if chr_list is None:
+                chr_list = [c.name for c in hic.chromosomes[1:]]
+            chrSize_in_bp = {
+                "chr" + normalize_chrom(c.name): c.length
+                for c in hic.chromosomes[1:]
+            }
+        finally:
+            hic.close()
 
     if (args.chromosome2 and args.chromosome2 != "n") and \
             len(chr_list) != len(args.chromosome2):

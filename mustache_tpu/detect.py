@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Any
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -196,6 +196,7 @@ def _pack_batched(out: dict):
     that to 2 round-trips. Layout must match :func:`_out_spec` (both walk
     keys in sorted order)."""
     fparts, iparts = [], []
+    B = next(iter(out.values())).shape[0]
     for k in sorted(out):
         a = out[k]
         flat = a.reshape(a.shape[0], -1)
@@ -203,6 +204,10 @@ def _pack_batched(out: dict):
             fparts.append(flat)
         else:
             iparts.append(flat.astype(jnp.int32))
+    # a detector variant with no float (or no int) leaves still packs: emit
+    # a [B, 0] placeholder so the concatenate never sees an empty list
+    fparts = fparts or [jnp.zeros((B, 0), jnp.float32)]
+    iparts = iparts or [jnp.zeros((B, 0), jnp.int32)]
     return jnp.concatenate(fparts, axis=1), jnp.concatenate(iparts, axis=1)
 
 
@@ -629,11 +634,23 @@ def _resolve_pallas(cfg: DetectionConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+class DetectorParts(NamedTuple):
+    """Compiled pieces of one block detector. Named fields (not a bare
+    tuple) so call sites never positionally unpack a shape that can rot
+    when a field is added."""
+    spec: Any            # LadderSpec
+    fn: Any              # jitted ([B, N, N], st, log_pt) -> dict
+    fn_single: Any       # jitted ([N, N], st, log_pt) -> dict
+    fn_band: Any         # jitted (band, starts, st, log_pt) -> dict
+    fn_band_packed: Any  # fn_band + _pack_batched (2-buffer D2H)
+    out_spec: Any        # _out_spec layout for unpack_block
+
+
 @functools.lru_cache(maxsize=32)
 def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
                            n: int, max_candidates: int,
                            use_pallas: bool = False,
-                           pallas_interpret: bool = False):
+                           pallas_interpret: bool = False) -> DetectorParts:
     spec = build_ladder(octave_values)
     dtype = jnp.float64 if precision == "float64" else jnp.float32
     kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
@@ -696,7 +713,8 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
     out_shapes = jax.eval_shape(
         one, jax.ShapeDtypeStruct((n, n), dtype),
         jax.ShapeDtypeStruct((), dtype), jax.ShapeDtypeStruct((), dtype))
-    return spec, fn, fn_single, fn_band, fn_band_packed, _out_spec(out_shapes)
+    return DetectorParts(spec, fn, fn_single, fn_band, fn_band_packed,
+                         _out_spec(out_shapes))
 
 
 def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
@@ -707,14 +725,14 @@ def build_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
         # layout here additionally assumes the intra distance bound
         raise NotImplementedError("inter-chromosomal detection not supported")
     # cache key holds only graph-shaping fields: thresholds are runtime args
-    spec, fn, fn_single, fn_band, fn_band_packed, out_spec = \
-        _build_detector_cached(
-            cfg.octave_values, cfg.precision, cfg.distance_px, n,
-            max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
-            getattr(cfg, "_pallas_interpret", False))
-    return BlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn, _fn_single=fn_single,
-                         _fn_band=fn_band, _fn_band_packed=fn_band_packed,
-                         out_spec=out_spec)
+    parts = _build_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
+        getattr(cfg, "_pallas_interpret", False))
+    return BlockDetector(cfg=cfg, spec=parts.spec, n=n, _fn=parts.fn,
+                         _fn_single=parts.fn_single, _fn_band=parts.fn_band,
+                         _fn_band_packed=parts.fn_band_packed,
+                         out_spec=parts.out_spec)
 
 
 # ---------------------------------------------------------------------------

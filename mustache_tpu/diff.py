@@ -444,7 +444,6 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     """
     from mustache_tpu.config import block_mask_sizes, chunk_grid
     from mustache_tpu.normalize import normalize_sparse
-    from mustache_tpu.pipeline import densify_block
 
     if len(v1) == 0 or len(v2) == 0:
         return []
@@ -465,8 +464,10 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     # scatter-fills the RAW bands; the per-diagonal windowed z-score runs
     # on chip, once per condition with its OWN bin count (the window
     # clipping at diagonal tails depends on it, diff_mustache.py:634).
-    # The sharded-runner path also device-normalizes (band pulled back
-    # once, blocks densified from it) so sharded == unsharded values.
+    # The sharded-runner path is band-resident: both condition bands are
+    # placed replicated over the mesh, normalized in place on every chip,
+    # and each launch shards only the [B] starts vector — sharded ==
+    # unsharded values with zero host densifies.
     device_norm = (normalize and not exact_normalize
                    and dtype == np.float32)
 
@@ -474,7 +475,7 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     from mustache_tpu.detect import band_width
     shape = (max(n, width), band_width(width, d_px))
     bands = None
-    if runner is None and not device_norm:
+    if not device_norm:
         bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
 
     def fill_raw(x, y, v, band):
@@ -499,7 +500,6 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
             fill_raw(x, y, v, band)
 
     bands_dev = None
-    bands_host = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device
         from mustache_tpu.pipeline import fill_raw_band
@@ -508,12 +508,11 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         # condition — see pipeline.fill_raw_band
         raw = (fill_raw_band(x1, y1, v1, shape),
                fill_raw_band(x2, y2, v2, shape))
-        norm = (normalize_band_device(raw[0], n1, cfg.resolution, d_px)[0],
-                normalize_band_device(raw[1], n2, cfg.resolution, d_px)[0])
-        if runner is None:
-            bands_dev = norm
-        else:
-            bands_host = (np.asarray(norm[0]), np.asarray(norm[1]))
+        if runner is not None:
+            raw = (runner.place_band(raw[0]), runner.place_band(raw[1]))
+        bands_dev = (
+            normalize_band_device(raw[0], n1, cfg.resolution, d_px)[0],
+            normalize_band_device(raw[1], n2, cfg.resolution, d_px)[0])
     else:
         prep(x1, y1, v1, bands[0] if bands else None, n1)
         prep(x2, y2, v2, bands[1] if bands else None, n2)
@@ -524,53 +523,40 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
 
     backend = jax.default_backend()
     B = _auto_batch_diff(width, cfg, backend, nblocks)
+    if runner is not None:
+        B = runner.round_batch(B)
     det = build_diff_detector(cfg, width)
 
-    if bands is not None and bands_dev is None and runner is None:
-        bands_dev = (jax.device_put(bands[0]), jax.device_put(bands[1]))
+    if bands is not None and bands_dev is None:
+        place = (runner.place_band if runner is not None
+                 else jax.device_put)
+        bands_dev = (place(bands[0]), place(bands[1]))
 
-    def host_blocks(i):
-        from mustache_tpu.pipeline import densify_from_band
-
-        if bands_host is not None:
-            return (densify_from_band(bands_host[0], start[i], width),
-                    densify_from_band(bands_host[1], start[i], width))
-        return (densify_block(x1, y1, v1, start[i], end[i], width, dtype),
-                densify_block(x2, y2, v2, start[i], end[i], width, dtype))
+    def pack_starts(idxs, cap):
+        starts = np.asarray(
+            [start[i] for i in idxs] + [0] * (cap - len(idxs)), np.int32)
+        return runner.place_starts(starts) if runner is not None else starts
 
     def launch(idxs):
-        if bands_dev is not None:
-            starts = np.asarray(
-                [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
-            return idxs, det.fn_band_packed(bands_dev[0], bands_dev[1],
-                                            starts)
-        b1 = np.zeros((B, width, width), dtype=dtype)
-        b2 = np.zeros((B, width, width), dtype=dtype)
-        for bi, i in enumerate(idxs):
-            b1[bi], b2[bi] = host_blocks(i)
-        return idxs, runner(det, (b1, b2))
+        return idxs, det.fn_band_packed(bands_dev[0], bands_dev[1],
+                                        pack_starts(idxs, B))
 
     results = []
 
     def rerun_block(i, cap):
-        """Re-detect block i with a larger candidate capacity: from the
-        device-resident (already normalized) bands when they exist, else
-        from a host densify of the (host-normalized) COO triplets."""
+        """Re-detect block i with a larger candidate capacity from the
+        device-resident (already normalized) bands."""
         det2 = build_diff_detector(cfg, width, max_candidates=cap)
-        if bands_dev is not None:
-            fl, il = det2.fn_band_packed(bands_dev[0], bands_dev[1],
-                                         np.asarray([start[i]], np.int32))
-            return unpack_block(det2.out_spec, np.asarray(fl[0]),
-                                np.asarray(il[0]))
-        return jax.tree.map(np.asarray, det2.fn_single(*host_blocks(i)))
+        nb = runner.nb if runner is not None else 1
+        fl, il = det2.fn_band_packed(bands_dev[0], bands_dev[1],
+                                     pack_starts([i], nb))
+        return unpack_block(det2.out_spec, np.asarray(fl[0]),
+                            np.asarray(il[0]))
 
     def finish(idxs, out):
-        if isinstance(out, tuple):     # packed band path: 2 D2H per batch
-            fh, ih = np.asarray(out[0]), np.asarray(out[1])
-            get = lambda bi: unpack_block(det.out_spec, fh[bi], ih[bi])
-        else:                          # runner path: dict of device arrays
-            out = jax.tree.map(np.asarray, out)
-            get = lambda bi: jax.tree.map(lambda a: a[bi], out)
+        # packed band path everywhere: 2 D2H per batch
+        fh, ih = np.asarray(out[0]), np.asarray(out[1])
+        get = lambda bi: unpack_block(det.out_spec, fh[bi], ih[bi])
         for bi, i in enumerate(idxs):
             block_out = get(bi)
             block_out = _maybe_regrow_diff(

@@ -393,4 +393,36 @@ def detect_inter_loops_coo(x, y, v, cfg: DetectionConfig, *,
         pending = launched
     if pending is not None:
         finish(*pending)
-    return loops
+    return _dedup_boundary_loops(loops)
+
+
+def _dedup_boundary_loops(loops: list[list[float]]) -> list[list[float]]:
+    """Post-merge coordinate dedup for tile-ownership boundary ambiguity.
+
+    Per-tile statistics differ slightly in the shared overlap margin, so a
+    cluster whose argmin-q representative lands within a pixel or two of an
+    ownership boundary can be emitted by BOTH neighboring tiles at adjacent
+    coordinates. Merge emitted loops within Chebyshev distance 3 (the
+    clustering radius) keeping the min-q representative; emission order of
+    the survivors is preserved."""
+    keep = [True] * len(loops)
+    index: dict[tuple[int, int], int] = {}
+    for i, r in enumerate(loops):
+        index.setdefault((int(r[0]), int(r[1])), i)
+    for i, r in enumerate(loops):
+        if not keep[i]:
+            continue
+        x0, y0 = int(r[0]), int(r[1])
+        for dx in range(-3, 4):
+            for dy in range(-3, 4):
+                j = index.get((x0 + dx, y0 + dy))
+                if j is None or j == i or not keep[j]:
+                    continue
+                # drop the worse-q duplicate (ties: keep the earlier one)
+                if loops[j][2] < r[2]:
+                    keep[i] = False
+                else:
+                    keep[j] = False
+            if not keep[i]:
+                break
+    return [r for i, r in enumerate(loops) if keep[i]]

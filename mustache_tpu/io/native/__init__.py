@@ -28,12 +28,16 @@ def _load():
     stale = not os.path.exists(_LIB_PATH)
     if not stale:
         # rebuild when any source is newer than the library (cheap stats;
-        # keeps an old .so from shadowing newly added entry points)
-        lib_mtime = os.path.getmtime(_LIB_PATH)
-        stale = any(
-            f.endswith((".cpp", ".h")) and
-            os.path.getmtime(os.path.join(_DIR, f)) > lib_mtime
-            for f in os.listdir(_DIR))
+        # keeps an old .so from shadowing newly added entry points); a file
+        # vanishing mid-scan (concurrent rebuild/clean) counts as not-stale
+        try:
+            lib_mtime = os.path.getmtime(_LIB_PATH)
+            stale = any(
+                f.endswith((".cpp", ".h")) and
+                os.path.getmtime(os.path.join(_DIR, f)) > lib_mtime
+                for f in os.listdir(_DIR))
+        except OSError:
+            stale = False
     if stale:
         try:
             subprocess.run(["make", "-C", _DIR], check=True,

@@ -52,21 +52,6 @@ def densify_block(x, y, v, start: int, end: int, chunk: int,
     return cc
 
 
-def densify_from_band(band: np.ndarray, start: int, width: int) -> np.ndarray:
-    """Dense [width, width] block for [start, start+width) reconstructed
-    from the diagonal-band layout band[r, d] == dense[r, r+d] (the host
-    twin of the device inverse-shear in detect.fn_band). Used by the
-    sharded-runner path so it sees the SAME (device-normalized) values as
-    the band fast path."""
-    out = np.zeros((width, width), dtype=band.dtype)
-    Dl = band.shape[1]
-    for d in range(min(Dl, width)):
-        m = width - d
-        idx = np.arange(m)
-        out[idx, idx + d] = band[start:start + m, d]
-    return out
-
-
 def fill_raw_band(x, y, v, band_shape) -> np.ndarray:
     """Scatter-fill the RAW chromosome band for the device-normalize path.
 
@@ -165,9 +150,11 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # normalize ON DEVICE when the f32 fast path is in play: the host only
     # scatter-fills the RAW band; the per-diagonal windowed z-score runs
     # as column cumsums on chip (bandnorm.py). The f64 golden path and the
-    # exact mode keep the host normalize. The sharded-runner path ALSO
-    # device-normalizes (then pulls the band back once and densifies its
-    # blocks from it) so sharded and unsharded runs see identical values.
+    # exact mode keep the host normalize. The sharded-runner path is
+    # band-resident too: the raw band is placed REPLICATED over the mesh,
+    # every chip normalizes its copy in place (zero communication), and
+    # each launch shards only the [B] starts vector — so sharded and
+    # unsharded runs see identical values with zero host densifies.
     device_norm = (normalize and not exact_normalize
                    and dtype == np.float32)
     # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
@@ -178,20 +165,17 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # do would land in the sentinel wedge either way.
     band_shape = (max(n, width), band_width(width, d_px))
     band = None
-    if runner is None and not device_norm:
+    if not device_norm:
         band = np.zeros(band_shape, dtype=dtype)
 
     band_dev = None
-    band_host = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device
 
         band = fill_raw_band(x, y, v, band_shape)
-        band_norm, _ = normalize_band_device(band, n, cfg.resolution, d_px)
-        if runner is None:
-            band_dev = band_norm
-        else:
-            band_host = np.asarray(band_norm)
+        if runner is not None:
+            band = runner.place_band(band)
+        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px)
     elif normalize:
         work = (np.float64 if (exact_normalize or cfg.precision == "float64")
                 else np.float32)
@@ -212,47 +196,40 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
 
     backend = jax.default_backend()
     B = _auto_batch(width, cfg, backend, nblocks)
+    if runner is not None:
+        # every chip gets the same per-launch block count (batch dim is
+        # sharded over the mesh's block axis; pad slots detect row 0 and
+        # are discarded on the host)
+        B = runner.round_batch(B)
     detector = build_detector(cfg, width)
 
-    if band is not None and band_dev is None and runner is None:
-        band_dev = jax.device_put(band)
+    if band is not None and band_dev is None:
+        band_dev = (runner.place_band(band) if runner is not None
+                    else jax.device_put(band))
 
-    def host_block(i):
-        if band_host is not None:
-            return densify_from_band(band_host, start[i], width)
-        return densify_block(x, y, v, start[i], end[i], width, dtype)
+    def pack_starts(idxs, cap):
+        starts = np.asarray(
+            [start[i] for i in idxs] + [0] * (cap - len(idxs)), np.int32)
+        return runner.place_starts(starts) if runner is not None else starts
 
     def launch(idxs):
-        if band_dev is not None:
-            starts = np.asarray(
-                [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
-            return idxs, detector.fn_band_packed(band_dev, starts)
-        blocks = np.zeros((B, width, width), dtype=dtype)
-        for bi, i in enumerate(idxs):
-            blocks[bi] = host_block(i)
-        return idxs, runner(detector, blocks)
+        return idxs, detector.fn_band_packed(band_dev, pack_starts(idxs, B))
 
     loops: list[Loop] = []
 
     def rerun_block(i, cap):
-        """Re-detect block i with a larger candidate capacity: from the
-        device-resident (already normalized) band when one exists, else
-        from a host densify of the (host-normalized) COO triplets."""
+        """Re-detect block i with a larger candidate capacity from the
+        device-resident (already normalized) band."""
         det = build_detector(cfg, width, max_candidates=cap)
-        if band_dev is not None:
-            fl, il = det.fn_band_packed(
-                band_dev, np.asarray([start[i]], np.int32))
-            return unpack_block(det.out_spec, np.asarray(fl[0]),
-                                np.asarray(il[0]))
-        return jax.tree.map(np.asarray, det.fn_single(host_block(i)))
+        nb = runner.nb if runner is not None else 1
+        fl, il = det.fn_band_packed(band_dev, pack_starts([i], nb))
+        return unpack_block(det.out_spec, np.asarray(fl[0]),
+                            np.asarray(il[0]))
 
     def finish(idxs, out):
-        if isinstance(out, tuple):     # packed band path: 2 D2H per batch
-            fh, ih = np.asarray(out[0]), np.asarray(out[1])
-            get = lambda bi: unpack_block(detector.out_spec, fh[bi], ih[bi])
-        else:                          # runner path: dict of device arrays
-            out = jax.tree.map(np.asarray, out)
-            get = lambda bi: jax.tree.map(lambda a: a[bi], out)
+        # packed band path everywhere: 2 D2H per batch
+        fh, ih = np.asarray(out[0]), np.asarray(out[1])
+        get = lambda bi: unpack_block(detector.out_spec, fh[bi], ih[bi])
         for bi, i in enumerate(idxs):
             block_out = get(bi)
             block_out = _maybe_regrow(

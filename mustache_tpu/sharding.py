@@ -46,32 +46,76 @@ def block_sharding(mesh):
     return NamedSharding(mesh, P("block", "row", None))
 
 
-def make_runner(mesh):
-    """A pipeline `runner(detector, blocks)`: place the batch with the mesh
-    sharding and invoke the jitted detector; outputs come back addressable
-    on the host. ``blocks`` is a [B, N, N] batch, or a tuple of two such
-    batches for the differential detector (both conditions sharded alike)."""
-    import jax
+class MeshRunner:
+    """Band-resident sharded execution over a (block, row) mesh.
 
-    sharding = block_sharding(mesh)
+    The pipelines keep the chromosome's diagonal band RESIDENT on the mesh
+    (replicated — every chip holds the band once) and shard only the tiny
+    per-batch ``starts`` vector over the ``block`` axis; each chip then
+    densifies and detects its own slice of the block batch from its local
+    band copy. Replication costs one band H2D per chip but removes ALL
+    per-batch host work (no host densify, no dense [B, N, N] re-upload —
+    the round-2 transfer wins apply at mesh scale), and device-normalize
+    runs on the placed band so every chip normalizes its copy in place
+    (redundant FLOPs, zero communication). Outputs come back as the same
+    packed two-buffer D2H the single-chip band path uses.
 
-    def runner(detector, blocks):
+    The legacy dense entry ``runner(detector, blocks)`` remains for callers
+    that already hold a dense [B, N, N] batch (or a tuple of two for the
+    differential detector)."""
+
+    def __init__(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self._band_sh = NamedSharding(mesh, P())          # replicated
+        self._starts_sh = NamedSharding(mesh, P("block"))
+        self._dense_sh = block_sharding(mesh)
+
+    @property
+    def nb(self) -> int:
+        return int(self.mesh.shape["block"])
+
+    def place_band(self, band):
+        """Place a [rows, Dl] chromosome band replicated over the mesh
+        (accepts host arrays or an already-placed device array)."""
+        import jax
+
+        return jax.device_put(band, self._band_sh)
+
+    def place_starts(self, starts):
+        """Place a [B] block-starts vector sharded over the `block` axis;
+        B must be a multiple of the block axis size (pipelines pad)."""
+        import jax
+
+        return jax.device_put(np.asarray(starts, np.int32), self._starts_sh)
+
+    def round_batch(self, b: int) -> int:
+        """Smallest multiple of the block axis size >= b (batch shaping:
+        every chip gets the same per-launch block count)."""
+        return -(-b // self.nb) * self.nb
+
+    def __call__(self, detector, blocks):
+        import jax
+
         parts = blocks if isinstance(blocks, tuple) else (blocks,)
         B = parts[0].shape[0]
-        nb = mesh.shape["block"]
-        pad = (-B) % nb
+        pad = (-B) % self.nb
         if pad:
             parts = tuple(
                 np.concatenate(
                     [b, np.zeros((pad,) + b.shape[1:], b.dtype)])
                 for b in parts)
-        arrs = tuple(jax.device_put(b, sharding) for b in parts)
+        arrs = tuple(jax.device_put(b, self._dense_sh) for b in parts)
         out = detector.fn(*arrs)
         if pad:
             out = jax.tree.map(lambda a: a[:B], out)
         return out
 
-    return runner
+
+def make_runner(mesh) -> MeshRunner:
+    """Build the band-resident sharded runner for ``mesh``."""
+    return MeshRunner(mesh)
 
 
 def initialize_distributed(coordinator: str | None = None,

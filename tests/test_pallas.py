@@ -41,12 +41,12 @@ def test_pallas_matches_xla_path(n, d_px):
     ref = jax.tree.map(np.asarray, det.fn_single(c))
 
     # pallas-path detector (interpret mode so it runs on CPU)
-    spec, fn, fn_single, _fn_band = _build_detector_cached(
+    parts = _build_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
         cfg.max_candidates, True, True)
     st = np.float32(cfg.st)
     lp = np.float32(np.log(cfg.pt))
-    got = jax.tree.map(np.asarray, fn_single(c, st, lp))
+    got = jax.tree.map(np.asarray, parts.fn_single(c, st, lp))
 
     assert int(got["nz_count"]) == int(ref["nz_count"])
     assert int(got["n_tested"]) == int(ref["n_tested"])
@@ -132,10 +132,10 @@ def test_pallas_matches_xla_path_three_octaves():
     c = make_block(n, d_px, seed=93)
     det = build_detector(cfg, n)
     ref = jax.tree.map(np.asarray, det.fn_single(c))
-    spec, fn, fn_single, _fn_band = _build_detector_cached(
+    parts = _build_detector_cached(
         cfg.octave_values, cfg.precision, cfg.distance_px, n,
         cfg.max_candidates, True, True)
-    got = jax.tree.map(np.asarray, fn_single(
+    got = jax.tree.map(np.asarray, parts.fn_single(
         c, np.float32(cfg.st), np.float32(np.log(cfg.pt))))
     rset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
         ref["cand_x"], ref["cand_y"], ref["cand_sigidx"], ref["cand_valid"])

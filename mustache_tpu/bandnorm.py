@@ -161,51 +161,118 @@ def _normalize_band_global(band, *, dpx):
     return out, jnp.zeros((0,), dtype)
 
 
-@functools.lru_cache(maxsize=32)
-def _build_norm_fn(rows: int, Dl: int, n: int, resolution: int,
-                   distance_in_px: int, donate: bool = True):
+def bucket_rows(rows: int, minimum: int = 512) -> int:
+    """Round a band row count up the geometric bucket ladder (ratio 9/8,
+    8-aligned). Chromosome lengths are arbitrary; bucketing them bounds the
+    number of distinct band shapes a genome-wide run compiles — and lets a
+    warmup pass enumerate every shape a run could need — at the cost of
+    <= 12.5% zero-pad rows (pads are unoccupied, so normalization and
+    detection are invariant to them; tested in tests/test_bandnorm.py)."""
+    b = minimum
+    while b < rows:
+        b = -(-b * 9 // 8 // 8) * 8
+    return b
+
+
+def _norm_key(rows: int, Dl: int, n: int, resolution: int,
+              distance_in_px: int):
+    """Canonical compile key for the normalize graph: collapses the
+    chromosome length n down to the fields that actually shape the lowered
+    HLO, so same-bucket chromosomes share one compile (and one persistent
+    cache entry). n survives in the key only in the short-column regime,
+    where the centering-swap gather indices depend on it exactly."""
+    local = (n - distance_in_px) * resolution > 2_000_000
+    if local:
+        F = int(2_000_000 / resolution)
+        short_cols = n - (Dl - 1) < F
+        return ("local", rows, Dl, F, min(2 + distance_in_px, n),
+                n if short_cols else -1)
+    return ("global", rows, Dl, min(distance_in_px, n))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_norm_fn(key: tuple, donate: bool = True, exc_bucket: int = 0):
     import jax
 
     import jax.numpy as jnp
 
-    local = (n - distance_in_px) * resolution > 2_000_000
-    if local:
-        F = int(2_000_000 / resolution)
-        Dv = min(2 + distance_in_px, n)
-        short_cols = n - (Dl - 1) < F  # any diagonal shorter than the window
-        inner = functools.partial(_normalize_band_local, n=n, F=F, Dv=Dv,
-                                  rows=rows, short_cols=short_cols)
+    if key[0] == "local":
+        _, rows, Dl, F, Dv, n_exact = key
+        short_cols = n_exact >= 0
+        # the fast (long-column) regime never reads n: pass rows, which
+        # keeps the closure free of the exact chromosome length
+        inner = functools.partial(_normalize_band_local,
+                                  n=(n_exact if short_cols else rows),
+                                  F=F, Dv=Dv, rows=rows,
+                                  short_cols=short_cols)
     else:
-        inner = functools.partial(_normalize_band_global,
-                                  dpx=min(distance_in_px, n))
+        inner = functools.partial(_normalize_band_global, dpx=key[3])
 
-    def fn(band):
-        # compact-transfer path: raw integer counts upload as uint16 (half
-        # the H2D bytes) and widen to f32 here — lossless, ints < 2^16
-        if band.dtype == jnp.uint16:
+    def widen(band):
+        # compact-transfer path: mostly-integer counts upload as uint8 /
+        # uint16 (4x / 2x fewer H2D bytes than f32) and widen here —
+        # lossless for integer values below the dtype limit
+        if band.dtype in (jnp.uint8, jnp.uint16):
             band = band.astype(jnp.float32)
-        return inner(band)
+        return band
+
+    if exc_bucket:
+        def fn(band, exc_r, exc_c, exc_v):
+            band = widen(band)
+            # misfit values (non-integer / over-limit) scatter over the
+            # widened band; pad slots carry row index `rows` and are
+            # dropped (lossless relative to the f32 band transfer)
+            band = band.at[exc_r, exc_c].set(exc_v, mode="drop")
+            return inner(band)
+    else:
+        def fn(band):
+            return inner(widen(band))
 
     # donate: the raw band is dead after this call (2GB at 1kb genome scale).
-    # f32-path only — a donated uint16 buffer can't back the f32 output, so
-    # the caller disables donation for compact transfers (avoids XLA's
-    # 'donated buffer was not usable' warning on every compile).
+    # f32-path only — a donated narrow-integer buffer can't back the f32
+    # output, so the caller disables donation for compact transfers (avoids
+    # XLA's 'donated buffer was not usable' warning on every compile).
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def pad_exceptions(exc, rows: int):
+    """Pad a (rows, cols, values) exception triple to a power-of-two bucket
+    so recompiles are bounded; pad slots scatter out of bounds (row index
+    ``rows``) and are dropped by the device scatter."""
+    r, c, v = (np.asarray(e) for e in exc)
+    ne = len(r)
+    bucket = max(16, 1 << max(ne - 1, 0).bit_length())
+    pr = np.full(bucket, rows, np.int32)
+    pc = np.zeros(bucket, np.int32)
+    pv = np.zeros(bucket, np.float32)
+    pr[:ne] = r
+    pc[:ne] = c
+    pv[:ne] = v
+    return pr, pc, pv
+
+
 def normalize_band_device(band_raw, n: int, resolution: int,
-                          distance_in_px: int):
+                          distance_in_px: int, exceptions=None):
     """Normalize a raw chromosome band on device.
 
     ``band_raw``: [rows, Dl] raw counts band (host array or device array;
-    host arrays are uploaded here). Returns ``(band_norm, weights)`` device
-    arrays; the input buffer is donated.
+    host arrays are uploaded here). ``exceptions``: optional PADDED
+    (rows, cols, f32 values) triple (see :func:`pad_exceptions`) scattered
+    over the widened band before normalizing — the compact-transfer path
+    for mostly-integer data. Returns ``(band_norm, weights)`` device
+    arrays; a float input buffer is donated.
     """
     import jax
 
     rows, Dl = band_raw.shape
-    donate = np.dtype(band_raw.dtype) != np.uint16
-    fn = _build_norm_fn(rows, Dl, n, resolution, distance_in_px, donate)
+    donate = np.dtype(band_raw.dtype) not in (np.uint8, np.uint16)
+    bucket = 0 if exceptions is None else int(exceptions[0].shape[0])
+    fn = _build_norm_fn(_norm_key(rows, Dl, n, resolution, distance_in_px),
+                        donate, bucket)
     if not isinstance(band_raw, jax.Array):
         band_raw = jax.device_put(band_raw)
-    return fn(band_raw)
+    if exceptions is None:
+        return fn(band_raw)
+    exc = tuple(e if isinstance(e, jax.Array) else jax.device_put(e)
+                for e in exceptions)
+    return fn(band_raw, *exc)

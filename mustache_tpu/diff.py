@@ -471,9 +471,11 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     device_norm = (normalize and not exact_normalize
                    and dtype == np.float32)
 
-    # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo)
+    # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo);
+    # rows bucketed so chromosome lengths share compiles (bandnorm)
+    from mustache_tpu.bandnorm import bucket_rows
     from mustache_tpu.detect import band_width
-    shape = (max(n, width), band_width(width, d_px))
+    shape = (bucket_rows(max(n, width)), band_width(width, d_px))
     bands = None
     if not device_norm:
         bands = (np.zeros(shape, dtype=dtype), np.zeros(shape, dtype=dtype))
@@ -501,18 +503,28 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
 
     bands_dev = None
     if device_norm:
-        from mustache_tpu.bandnorm import normalize_band_device
-        from mustache_tpu.pipeline import fill_raw_band
+        from mustache_tpu.bandnorm import normalize_band_device, pad_exceptions
+        from mustache_tpu.pipeline import fill_raw_band_compact
 
-        # raw integer counts upload as uint16 (half the bytes), per
-        # condition — see pipeline.fill_raw_band
-        raw = (fill_raw_band(x1, y1, v1, shape),
-               fill_raw_band(x2, y2, v2, shape))
-        if runner is not None:
-            raw = (runner.place_band(raw[0]), runner.place_band(raw[1]))
+        # mostly-integer counts upload as uint8/uint16 + exception list
+        # (2-4x fewer H2D bytes), per condition — see
+        # pipeline.fill_raw_band_compact
+        def prep_raw(x, y, v):
+            band, exc = fill_raw_band_compact(x, y, v, shape)
+            if exc is not None:
+                exc = pad_exceptions(exc, band.shape[0])
+            if runner is not None:
+                band = runner.place_band(band)
+                if exc is not None:
+                    exc = tuple(runner.place_band(e) for e in exc)
+            return band, exc
+
+        raw = (prep_raw(x1, y1, v1), prep_raw(x2, y2, v2))
         bands_dev = (
-            normalize_band_device(raw[0], n1, cfg.resolution, d_px)[0],
-            normalize_band_device(raw[1], n2, cfg.resolution, d_px)[0])
+            normalize_band_device(raw[0][0], n1, cfg.resolution, d_px,
+                                  exceptions=raw[0][1])[0],
+            normalize_band_device(raw[1][0], n2, cfg.resolution, d_px,
+                                  exceptions=raw[1][1])[0])
     else:
         prep(x1, y1, v1, bands[0] if bands else None, n1)
         prep(x2, y2, v2, bands[1] if bands else None, n2)

@@ -113,6 +113,34 @@ def _load():
         # stale .so from before the u16 path existed: trigger a rebuild
         # next interpreter, keep the f32 path this run
         lib._mtpu_no_u16 = True
+    try:
+        lib.mtpu_classify_values.restype = ctypes.c_int
+        lib.mtpu_classify_values.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.mtpu_fill_band_compact.restype = ctypes.c_int
+        lib.mtpu_fill_band_compact.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+    except AttributeError:
+        # stale .so from before the compact path existed
+        lib._mtpu_no_compact = True
     _lib = lib
     return _lib
 
@@ -236,3 +264,52 @@ def fill_band_u16(x, y, v, band_out, n_threads=8) -> bool:
     if rc != 0:
         raise RuntimeError(f"native fill_band_u16 failed (rc={rc})")
     return True
+
+
+def classify_values(v, n_threads=8):
+    """Exception census for the compact band transfer: (misfit_u8,
+    misfit_u16) counts of values that are not non-negative integers below
+    256 / 65536. None when the native library (or this entry point) is
+    unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_compact", False):
+        return None
+    if v.dtype != np.float64 or not v.flags.c_contiguous:
+        return None
+    out = np.zeros(2, np.int64)
+    if lib.mtpu_classify_values(v, len(v), int(n_threads), out) != 0:
+        return None
+    return int(out[0]), int(out[1])
+
+
+def fill_band_compact(x, y, v, band_out, exc_cap, n_threads=8):
+    """Narrow-band fill with an exception list: integer-fitting values land
+    in ``band_out`` (uint8 or uint16), misfits come back as
+    ``(rows, cols, f32 values)`` for a device-side scatter over the widened
+    band. Returns the exception arrays (trimmed to the actual count) or
+    None when the native path is unavailable or ``exc_cap`` overflows.
+    Requires unique (x, y) pairs (the ingest-path invariant)."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_compact", False):
+        return None
+    if (x.dtype != y.dtype or x.dtype not in (np.int32, np.int64)
+            or v.dtype != np.float64
+            or band_out.dtype not in (np.uint8, np.uint16)
+            or not (x.flags.c_contiguous and y.flags.c_contiguous
+                    and v.flags.c_contiguous and band_out.flags.c_contiguous)):
+        return None
+    exc_cap = max(int(exc_cap), 1)
+    exc_r = np.empty(exc_cap, np.int32)
+    exc_c = np.empty(exc_cap, np.int32)
+    exc_v = np.empty(exc_cap, np.float32)
+    n_exc = lib.mtpu_fill_band_compact(
+        x.ctypes.data_as(ctypes.c_void_p), y.ctypes.data_as(ctypes.c_void_p),
+        1 if x.dtype == np.int64 else 0,
+        v, len(v),
+        band_out.ctypes.data_as(ctypes.c_void_p),
+        1 if band_out.dtype == np.uint16 else 0,
+        band_out.shape[0], band_out.shape[1],
+        exc_r, exc_c, exc_v, exc_cap, int(n_threads))
+    if n_exc < 0:
+        return None
+    return exc_r[:n_exc], exc_c[:n_exc], exc_v[:n_exc]

@@ -272,6 +272,110 @@ int mtpu_fill_band_u16(const void* xs, const void* ys, int32_t xy_is64,
   return 0;
 }
 
+// Exception census for the compact band transfer: counts values NOT exactly
+// representable as uint8 / uint16 (non-negative integers below 256 / 65536;
+// non-finite values never fit). out[0] = u8 misfits, out[1] = u16 misfits.
+// The Python side picks the narrowest band dtype whose band bytes plus
+// 12-byte exception records beat the f32 band.
+int mtpu_classify_values(const double* vs, int64_t n_entries,
+                         int32_t n_threads, int64_t* out) {
+  if (n_entries < 0 || !out) return -1;
+  std::atomic<int64_t> n8{0}, n16{0};
+  auto run = [&](int64_t e0, int64_t e1) {
+    int64_t l8 = 0, l16 = 0;
+    for (int64_t e = e0; e < e1; ++e) {
+      const double v = vs[e];
+      const bool is_int =
+          v >= 0.0 && v == std::floor(v) && std::isfinite(v);
+      if (!is_int || v >= 256.0) ++l8;
+      if (!is_int || v >= 65536.0) ++l16;
+    }
+    n8.fetch_add(l8, std::memory_order_relaxed);
+    n16.fetch_add(l16, std::memory_order_relaxed);
+  };
+  if (n_threads <= 1 || n_entries < (1 << 16)) {
+    run(0, n_entries);
+  } else {
+    const int64_t chunk = (n_entries + n_threads - 1) / n_threads;
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int64_t e0 = t * chunk;
+      const int64_t e1 = std::min(n_entries, e0 + chunk);
+      if (e0 >= e1) break;
+      pool.emplace_back(run, e0, e1);
+    }
+    for (auto& th : pool) th.join();
+  }
+  out[0] = n8.load();
+  out[1] = n16.load();
+  return 0;
+}
+
+// Compact band fill: integer-fitting values go into a narrow (u8 or u16)
+// band; the misfits are emitted as an (row, col, f32 value) exception list
+// the device scatters over the widened band before normalizing — lossless
+// relative to the f32 band fill (the scattered float32 cast is exactly the
+// cast mtpu_fill_band performs). Same row-ownership threading as
+// mtpu_fill_band; exception order across threads is irrelevant because the
+// ingest paths guarantee unique (x, y) pairs (duplicate triplets are NOT
+// supported on this path — callers with possibly-duplicated input must use
+// the f32 band). Returns the exception count, or -1 when exc_cap would
+// overflow (caller falls back to the f32 band).
+int mtpu_fill_band_compact(const void* xs, const void* ys, int32_t xy_is64,
+                           const double* vs, int64_t n_entries, void* band,
+                           int32_t elem_is16, int64_t n_rows, int64_t ldb,
+                           int32_t* exc_r, int32_t* exc_c, float* exc_v,
+                           int64_t exc_cap, int32_t n_threads) {
+  if (n_entries < 0 || ldb <= 0) return -1;
+  const double limit = elem_is16 ? 65536.0 : 256.0;
+  std::atomic<int64_t> n_exc{0};
+  std::atomic<int> overflow{0};
+  auto run = [&](int64_t r0, int64_t r1) {
+    const int32_t* x32 = static_cast<const int32_t*>(xs);
+    const int32_t* y32 = static_cast<const int32_t*>(ys);
+    const int64_t* x64 = static_cast<const int64_t*>(xs);
+    const int64_t* y64 = static_cast<const int64_t*>(ys);
+    uint8_t* b8 = static_cast<uint8_t*>(band);
+    uint16_t* b16 = static_cast<uint16_t*>(band);
+    for (int64_t e = 0; e < n_entries; ++e) {
+      const int64_t x = xy_is64 ? x64[e] : static_cast<int64_t>(x32[e]);
+      if (x < r0 || x >= r1) continue;
+      const int64_t y = xy_is64 ? y64[e] : static_cast<int64_t>(y32[e]);
+      const int64_t d = y - x;
+      if (d < 0 || d >= ldb || x < 0 || x >= n_rows) continue;
+      const double v = vs[e];
+      if (v >= 0.0 && v < limit && v == std::floor(v)) {
+        if (elem_is16) b16[x * ldb + d] = static_cast<uint16_t>(v);
+        else b8[x * ldb + d] = static_cast<uint8_t>(v);
+      } else {
+        const int64_t slot = n_exc.fetch_add(1, std::memory_order_relaxed);
+        if (slot >= exc_cap) {
+          overflow.store(1, std::memory_order_relaxed);
+          return;
+        }
+        exc_r[slot] = static_cast<int32_t>(x);
+        exc_c[slot] = static_cast<int32_t>(d);
+        exc_v[slot] = static_cast<float>(v);
+      }
+    }
+  };
+  if (n_threads <= 1 || n_entries < (1 << 16)) {
+    run(0, n_rows);
+  } else {
+    const int64_t chunk = (n_rows + n_threads - 1) / n_threads;
+    std::vector<std::thread> pool;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      const int64_t r0 = t * chunk;
+      const int64_t r1 = std::min(n_rows, r0 + chunk);
+      if (r0 >= r1) break;
+      pool.emplace_back(run, r0, r1);
+    }
+    for (auto& th : pool) th.join();
+  }
+  if (overflow.load()) return -1;
+  return static_cast<int>(n_exc.load());
+}
+
 // Threaded eligibility check for the uint16 band path: every value a
 // non-negative integer in [0, 65536). Returns 1 when eligible, 0 otherwise.
 int mtpu_values_fit_u16(const double* vs, int64_t n_entries,

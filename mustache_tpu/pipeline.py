@@ -77,6 +77,58 @@ def fill_raw_band(x, y, v, band_shape) -> np.ndarray:
     return band
 
 
+def fill_raw_band_compact(x, y, v, band_shape):
+    """Raw-band fill picking the narrowest LOSSLESS transfer encoding.
+
+    Real Hi-C/Micro-C counts are almost entirely small integers with a thin
+    tail of misfits (bias-divided pixels, counts over the dtype limit), so
+    the band travels as uint8/uint16 plus a small (row, col, f32 value)
+    exception list the device scatters over the widened band before
+    normalizing — bit-identical loop calls to the f32-band transfer at
+    a half to a quarter of the H2D bytes (the dominant cost on PCIe /
+    tunneled links; see bandnorm). Float-heavy data (e.g. fully
+    bias-divided maps) keeps the f32 band.
+
+    Returns ``(band, exceptions)`` with ``exceptions`` either None or an
+    UNPADDED (rows, cols, values) triple (callers pad via
+    ``bandnorm.pad_exceptions``). Requires unique (x, y) pairs — the
+    ingest-path invariant (duplicates would make band-vs-exception
+    last-write-wins order ambiguous)."""
+    from mustache_tpu.io import native
+
+    rows, Dl = band_shape
+    counts = native.classify_values(v)
+    if counts is None and v.size:   # no native library: numpy census
+        isint = np.isfinite(v) & (v >= 0) & (v == np.floor(v))
+        counts = (int(np.count_nonzero(~(isint & (v < 256)))),
+                  int(np.count_nonzero(~(isint & (v < 65536)))))
+    if counts is not None:
+        ne8, ne16 = counts
+        # 12-byte exception records (i32 row + i32 col + f32 value)
+        bytes8 = rows * Dl + ne8 * 12
+        bytes16 = 2 * rows * Dl + ne16 * 12
+        if min(bytes8, bytes16) < 4 * rows * Dl:
+            dtype, cap = ((np.uint8, ne8) if bytes8 <= bytes16
+                          else (np.uint16, ne16))
+            band = np.zeros(band_shape, dtype)
+            exc = native.fill_band_compact(x, y, v, band, cap)
+            if exc is None and counts is not None:
+                # numpy twin of mtpu_fill_band_compact
+                d_arr = y - x
+                inb = (d_arr >= 0) & (d_arr < Dl) & (x >= 0) & (x < rows)
+                fit = (np.isfinite(v) & (v >= 0) & (v == np.floor(v))
+                       & (v < (65536 if dtype == np.uint16 else 256)))
+                sel = inb & fit
+                band[x[sel], d_arr[sel]] = v[sel]
+                sel = inb & ~fit
+                exc = (x[sel].astype(np.int32),
+                       d_arr[sel].astype(np.int32),
+                       v[sel].astype(np.float32))
+            if exc is not None:
+                return band, (exc if len(exc[0]) else None)
+    return fill_raw_band(x, y, v, band_shape), None
+
+
 def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
                 nblocks: int) -> int:
     if cfg.block_batch:
@@ -109,8 +161,16 @@ def _pick_batch(nblocks: int, cap: int) -> int:
     zero-padded to B and the pad slots are full computes), then preferring
     the larger batch. Compute-count-first is a trap: 17 blocks would pick
     B=1 (17 computes, 17 launches) over B=6 (18 computes, 3 launches) and
-    run 5x slower on latency-dominated links."""
-    return min(range(1, cap + 1),
+    run 5x slower on latency-dominated links.
+
+    B is restricted to POWERS OF TWO: each distinct B is a full detector
+    compile (minutes cold on a tunneled chip), so a genome's spread of
+    per-chromosome block counts must map onto a small enumerable set —
+    {1,2,4,8,...} — that a warmup pass can precompile. The pad-compute
+    cost this adds is bounded (< 2x only for tiny chromosomes, where
+    blocks are cheapest); launch count never increases."""
+    cands = [b for b in (1, 2, 4, 8, 16, 32) if b <= cap] or [1]
+    return min(cands,
                key=lambda b: (-(-nblocks // b), -(-nblocks // b) * b, -b))
 
 
@@ -162,20 +222,29 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # links); each block is sliced + densified on device (fn_band).
     # Entries beyond Dl >= d_px+4 cannot exist after the ingest
     # distance filters (<= d_px+1); the public-API corner where they
-    # do would land in the sentinel wedge either way.
-    band_shape = (max(n, width), band_width(width, d_px))
+    # do would land in the sentinel wedge either way. Rows ride the
+    # geometric bucket ladder so a genome's worth of chromosome lengths
+    # compiles a handful of band shapes, not one per chromosome
+    # (bandnorm.bucket_rows; pad rows are unoccupied and inert).
+    from mustache_tpu.bandnorm import bucket_rows
+    band_shape = (bucket_rows(max(n, width)), band_width(width, d_px))
     band = None
     if not device_norm:
         band = np.zeros(band_shape, dtype=dtype)
 
     band_dev = None
     if device_norm:
-        from mustache_tpu.bandnorm import normalize_band_device
+        from mustache_tpu.bandnorm import normalize_band_device, pad_exceptions
 
-        band = fill_raw_band(x, y, v, band_shape)
+        band, exc = fill_raw_band_compact(x, y, v, band_shape)
+        if exc is not None:
+            exc = pad_exceptions(exc, band.shape[0])
         if runner is not None:
             band = runner.place_band(band)
-        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px)
+            if exc is not None:
+                exc = tuple(runner.place_band(e) for e in exc)
+        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px,
+                                            exceptions=exc)
     elif normalize:
         work = (np.float64 if (exact_normalize or cfg.precision == "float64")
                 else np.float32)

@@ -102,6 +102,59 @@ def test_pipeline_device_norm_regrow():
     assert got == want and len(want) > 0
 
 
+def test_bucket_rows_ladder():
+    """Geometric ladder: monotone, 8-aligned, step ratio <= 9/8 (+align),
+    idempotent on ladder values."""
+    from mustache_tpu.bandnorm import bucket_rows
+
+    assert bucket_rows(1) == 512 and bucket_rows(512) == 512
+    b, steps = 512, 0
+    while b <= 250_000:  # chr1 at 1kb
+        nxt = bucket_rows(b + 1)
+        assert nxt > b and nxt % 8 == 0
+        assert nxt <= -(-b * 9 // 8 // 8) * 8
+        assert bucket_rows(nxt) == nxt
+        b = nxt
+        steps += 1
+    # the whole 1kb human genome fits in ~53 ladder rungs; any one run
+    # touches far fewer (only the rungs its chromosomes land on)
+    assert steps < 60
+
+
+def test_pad_rows_invariance():
+    """Normalizing a band padded to the row bucket must reproduce the
+    exact-rows result on the real rows (pads are unoccupied and inert) —
+    the correctness claim behind bucketed band shapes."""
+    from mustache_tpu.bandnorm import bucket_rows
+
+    n, d_px, res = 900, 120, 5000
+    x, y, v, _ = synthetic_hic(n, d_px, seed=7, n_loops=8)
+    Dl = band_width(max(n, 256), d_px)
+    raw = np.zeros((n, Dl), np.float32)
+    sel = (y - x) < Dl
+    raw[x[sel], (y - x)[sel]] = v[sel]
+
+    exact, _ = normalize_band_device(raw.copy(), n, res, d_px)
+    padded = np.zeros((bucket_rows(n), Dl), np.float32)
+    padded[:n] = raw
+    bucketed, _ = normalize_band_device(padded, n, res, d_px)
+    bucketed = np.asarray(bucketed)
+    np.testing.assert_array_equal(bucketed[:n], np.asarray(exact))
+    assert not bucketed[n:].any()
+
+
+def test_norm_key_collapses_chromosome_length():
+    """Two long-column chromosomes in the same row bucket must share one
+    compile key; the short-column regime keeps the exact n."""
+    from mustache_tpu.bandnorm import _norm_key
+
+    assert (_norm_key(10056, 404, 9800, 5000, 400)
+            == _norm_key(10056, 404, 10020, 5000, 400))
+    # short-column regime (n - Dl + 1 < F): n is load-bearing
+    assert (_norm_key(1024, 404, 700, 5000, 120)
+            != _norm_key(1024, 404, 710, 5000, 120))
+
+
 def test_diff_pipeline_device_norm_same_calls():
     """detect_diff_loops_coo f32 (device normalize) vs normalize=False fed
     with host-normalized values: identical rows (all four tags)."""

@@ -381,7 +381,8 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
         itemsize = 8 if cfg.precision == "float64" else 4
         per_block = 135 * n * n * itemsize
         cap = max(1, min(4, int(6e9 // per_block)))
-    cap = min(cap, max(nblocks, 1))
+    # memory-only cap: B may exceed nblocks (see pipeline._auto_batch —
+    # one padded launch beats two exact ones on per-launch overhead)
     from mustache_tpu.pipeline import _pick_batch
     return _pick_batch(nblocks, cap)
 

@@ -150,7 +150,12 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
         # under ~4GB
         per_block = 45 * n * n * 4
         cap = max(1, min(4, int(4e9 // per_block)))
-    cap = min(cap, max(nblocks, 1))
+    # cap is MEMORY-only — B may exceed nblocks: the per-launch fixed cost
+    # (dispatch + the flat BH sort + output round-trip, ~150ms measured on
+    # the 1kb shape) outweighs extra pad-slot computes, so 5 blocks run
+    # faster as ONE B=8 launch (8 computes) than two B=4 launches (same 8
+    # computes, one more launch): 549ms vs 705ms measured.
+    # _pick_batch's compute-count tiebreak still keeps B=2 for 2 blocks.
     return _pick_batch(nblocks, cap)
 
 

@@ -62,28 +62,30 @@ def main():
 
         loops = run()                       # compile + warm caches
         times = []
-        for _ in range(1):
+        for _ in range(3):                  # 3+ warm reps: host jitter
             t0 = time.time()
             loops2 = run()
             times.append(time.time() - t0)
-        assert [(l.bin1, l.bin2) for l in loops] == \
-            [(l.bin1, l.bin2) for l in loops2]
+            assert [(l.bin1, l.bin2) for l in loops] == \
+                [(l.bin1, l.bin2) for l in loops2]
         if nd == 1:
             ref_calls = [(l.bin1, l.bin2, l.scale) for l in loops]
         else:
             assert [(l.bin1, l.bin2, l.scale) for l in loops] == ref_calls, \
                 f"loop calls differ at {nd} devices"
         best = min(times)
+        med = sorted(times)[len(times) // 2]
         bps = nblocks / best
         if baseline is None:
             baseline = bps
-        results.append({"devices": nd, "seconds": round(best, 3),
+        results.append({"devices": nd, "seconds_min": round(best, 3),
+                        "seconds_median": round(med, 3),
                         "blocks_per_s": round(bps, 2),
                         "speedup": round(bps / baseline, 2),
                         "loops": len(loops)})
-        print(f"# {nd} dev: {best:.2f}s {bps:.1f} blocks/s "
-              f"speedup {bps/baseline:.2f}x loops={len(loops)}",
-              file=sys.stderr)
+        print(f"# {nd} dev: min {best:.2f}s median {med:.2f}s "
+              f"{bps:.1f} blocks/s speedup {bps/baseline:.2f}x "
+              f"loops={len(loops)}", file=sys.stderr)
     print(json.dumps({"scaling_curve_cpu_mesh": results}))
 
 

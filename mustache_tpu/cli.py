@@ -129,6 +129,14 @@ def build_parser(diff: bool = False) -> argparse.ArgumentParser:
                    help="Disable the one-chromosome ingest lookahead "
                         "(by default the next chromosome's file decode "
                         "overlaps the current chromosome's detection).")
+    p.add_argument("--engine-warmup", dest="engine_warmup",
+                   action="store_true",
+                   help="Pre-compile every detection graph shape this run "
+                        "will touch into the persistent XLA cache before "
+                        "ingest starts (one-time cost; later runs of any "
+                        "chromosome set at this resolution start warm). "
+                        "Equivalent to `python -m mustache_tpu.warmup` "
+                        "scoped to this run's chromosomes.")
     p.add_argument("--engine-ingest-retries", dest="ingest_retries",
                    type=int, default=2,
                    help="Retries per chromosome on ingest errors before "
@@ -180,6 +188,17 @@ def _chromosome_lists(args, f, res):
             return None, None, None
     else:
         chr_list = list(args.chromosome)
+    if (f.endswith(".cool") or f.endswith(".mcool")) and not chrSize_in_bp:
+        # sizes feed the distance clamp nothing, but --engine-warmup needs
+        # them to enumerate this run's compile shapes ahead of ingest
+        from mustache_tpu.io.cool import CoolFile
+        clr = CoolFile(f, resolution=res if f.endswith(".mcool") else None)
+        try:
+            chrSize_in_bp = {
+                "chr" + normalize_chrom(nm): int(sz)
+                for nm, sz in zip(clr.chromnames, clr.chromsizes)}
+        finally:
+            clr.close()
     if f.endswith(".hic") and (chr_list is None or not chrSize_in_bp):
         # one open serves both discovery and sizes; always closed
         from mustache_tpu.io.hic import HicFile
@@ -354,6 +373,33 @@ def main(argv=None):
         if manifest and args.resume and unit_name in done:
             continue
         todo.append((chromosome, chromosome2, unit_name))
+
+    if args.engine_warmup:
+        # AOT-compile every shape this run's chromosomes will touch into
+        # the persistent cache BEFORE ingest: first runs pay the compile
+        # up front and in bulk; later runs (and --engine-resume reruns)
+        # start warm. Needs chromosome sizes; without them (-ch on bare
+        # text input, no -cz) the shapes are unknowable ahead of ingest.
+        sizes_known = bool(chrSize_in_bp)
+        if not sizes_known:
+            log.event("warmup_skipped",
+                      reason="chromosome sizes unknown (use -cz)")
+        else:
+            from mustache_tpu.warmup import warm
+            base_cfg = DetectionConfig(
+                resolution=res, distance_bp=dist_bp, pt=args.pt, st=args.st,
+                sigma0=args.s_z, octaves=args.octaves,
+                precision=args.precision, block_batch=args.block_batch)
+            n_bins_list = []
+            for chromosome, _, _ in todo:
+                sz = chrSize_in_bp.get(
+                    "chr" + normalize_chrom(chromosome))
+                if sz:
+                    n_bins_list.append(int(sz) // res + 1)
+            if n_bins_list:
+                with log.phase("warmup", shapes=len(set(n_bins_list))):
+                    warm(base_cfg, n_bins_list,
+                         log=lambda m: log.event("warmup", detail=m))
     if manifest and not args.resume:
         # fresh run: stale parts from a previous run must not survive into
         # this run's assembly if one of these units fails

@@ -62,6 +62,20 @@ def main(argv=None):
         print("Error: Couldn't find the specified bias file2")
         return 1
 
+    if getattr(args, "engine_warmup", False) and chrSize_in_bp:
+        # AOT-compile this run's differential-detector shapes up front
+        # (see cli.main; diff=True adds the two-band detector variants)
+        from mustache_tpu.warmup import warm
+        base_cfg = DetectionConfig(
+            resolution=res, distance_bp=dist_bp, pt=args.pt, pt2=args.pt2,
+            st=args.st, sigma0=args.s_z, octaves=args.octaves,
+            precision=args.precision, block_batch=args.block_batch)
+        n_bins_list = [int(sz) // res + 1 for nm, sz in chrSize_in_bp.items()
+                       if any("chr" + normalize_chrom(c) == nm
+                              for c in chr_list)]
+        if n_bins_list:
+            warm(base_cfg, n_bins_list, diff=True)
+
     def ingest_one(chromosome, chromosome2):
         from mustache_tpu.faults import maybe_fail
 

@@ -179,9 +179,20 @@ def _pick_batch(nblocks: int, cap: int) -> int:
                key=lambda b: (-(-nblocks // b), -(-nblocks // b) * b, -b))
 
 
+def dense_from_band_host(band, s: int, N: int) -> np.ndarray:
+    """Host twin of detect.dense_from_band: dense [N, N] block from band
+    rows [s, s+N) via the same flat [N, N+1] reinterpret (wrap cells land
+    in the lower triangle, overwritten by the sentinel fill before any
+    read — bit-identical to the device reconstruction)."""
+    rows = band[s: s + N]
+    wide = np.zeros((N, N + 1), band.dtype)
+    wide[: rows.shape[0], : rows.shape[1]] = rows
+    return wide.reshape(-1)[: N * N].reshape(N, N)
+
+
 def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
                      exact_normalize: bool = False,
-                     runner=None) -> list[Loop]:
+                     runner=None, log=None) -> list[Loop]:
     """Loop calls for one intra-chromosomal COO map (bin coordinates).
 
     ``runner``: optional callable ``(detector, blocks[B,N,N]) -> outputs``
@@ -220,8 +231,13 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     # every chip normalizes its copy in place (zero communication), and
     # each launch shards only the [B] starts vector — so sharded and
     # unsharded runs see identical values with zero host densifies.
+    # rowshard placement keeps each chip's band slab local; the windowed
+    # per-diagonal z-score needs full-column context, so normalization
+    # happens on the host (one-call native C++) before the slabs upload
+    row_shard = (runner is not None
+                 and getattr(runner, "band_placement", "") == "rowshard")
     device_norm = (normalize and not exact_normalize
-                   and dtype == np.float32)
+                   and dtype == np.float32 and not row_shard)
     # ONE H2D per chromosome: the diagonal band [rows, Dl] (3-5x fewer
     # bytes than the dense blocks, the dominant cost on PCIe/tunneled
     # links); each block is sliced + densified on device (fn_band).
@@ -277,7 +293,13 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         B = runner.round_batch(B)
     detector = build_detector(cfg, width)
 
-    if band is not None and band_dev is None:
+    plan = None
+    if row_shard:
+        # each chip uploads/holds ONLY its contiguous block range's rows
+        # (total H2D ~ one band; per-chip HBM ~ slab, not band)
+        plan = runner.plan_rowshard(start, width)
+        band_dev = runner.place_band_rowshard(band, plan, log=log)
+    elif band is not None and band_dev is None:
         band_dev = (runner.place_band(band) if runner is not None
                     else jax.device_put(band))
 
@@ -289,12 +311,20 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     def launch(idxs):
         return idxs, detector.fn_band_packed(band_dev, pack_starts(idxs, B))
 
-    loops: list[Loop] = []
+    # loop rows tagged by block index: rowshard launches interleave blocks
+    # chip-major, so the reference's block-order output needs a final
+    # stable sort (a no-op for the in-order paths)
+    tagged: list[tuple[int, Loop]] = []
 
     def rerun_block(i, cap):
-        """Re-detect block i with a larger candidate capacity from the
-        device-resident (already normalized) band."""
+        """Re-detect block i with a larger candidate capacity."""
         det = build_detector(cfg, width, max_candidates=cap)
+        if row_shard:
+            # the normalized band is host-resident in this mode: rerun the
+            # one overflowing block through the single-block entry
+            blk = dense_from_band_host(band, start[i], width)
+            out = det.fn_single(blk)
+            return {k: np.asarray(a) for k, a in out.items()}
         nb = runner.nb if runner is not None else 1
         fl, il = det.fn_band_packed(band_dev, pack_starts([i], nb))
         return unpack_block(det.out_spec, np.asarray(fl[0]),
@@ -305,6 +335,8 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
         fh, ih = np.asarray(out[0]), np.asarray(out[1])
         get = lambda bi: unpack_block(detector.out_spec, fh[bi], ih[bi])
         for bi, i in enumerate(idxs):
+            if i is None:     # rowshard pad slot
+                continue
             block_out = get(bi)
             block_out = _maybe_regrow(
                 block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
@@ -315,20 +347,29 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
             mask = masks[i]
             for r in rows:
                 if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
-                    loops.append(Loop(int(r[0]), int(r[1]), float(r[2]), float(r[3])))
+                    tagged.append((i, Loop(int(r[0]), int(r[1]),
+                                           float(r[2]), float(r[3]))))
+
+    if row_shard:
+        batches = ((idxs, runner.run_rowshard(detector, band_dev, sl))
+                   for idxs, sl in plan.launches(B // runner.nb))
+    else:
+        batches = (
+            (idxs, launch(idxs)[1])
+            for idxs in (list(range(b0, min(b0 + B, nblocks)))
+                         for b0 in range(0, nblocks, B)))
 
     # software pipelining: densify+upload batch k+1 while batch k's outputs
     # are still being computed on device (jax dispatch is asynchronous)
     pending = None
-    for b0 in range(0, nblocks, B):
-        idxs = list(range(b0, min(b0 + B, nblocks)))
-        launched = launch(idxs)
+    for launched in batches:
         if pending is not None:
             finish(*pending)
         pending = launched
     if pending is not None:
         finish(*pending)
-    return loops
+    tagged.sort(key=lambda t: t[0])
+    return [lp for _, lp in tagged]
 
 
 def _maybe_regrow(block_out: dict, cfg: DetectionConfig, rerun) -> dict:

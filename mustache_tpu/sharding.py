@@ -46,6 +46,70 @@ def block_sharding(mesh):
     return NamedSharding(mesh, P("block", "row", None))
 
 
+class RowShardPlan:
+    """Block->chip assignment and slab geometry for the row-sharded band.
+
+    Each chip owns a CONTIGUOUS range of detection blocks and holds only
+    the band rows those blocks read: slab i covers
+    ``[starts[c0_i], starts[c1_i - 1] + chunk)``. Adjacent slabs overlap by
+    the block overlap (the reference's recomputed-overlap idiom,
+    mustache.py:896-910, as data placement); a block's stencil halo is
+    internal to its ``chunk x chunk`` dense reconstruction, so no extra
+    margin is needed. All slabs are padded to one bucketed row count so a
+    genome compiles a handful of shapes."""
+
+    def __init__(self, starts, chunk: int, nd: int):
+        from mustache_tpu.bandnorm import bucket_rows
+
+        starts = np.asarray(starts, np.int64)
+        nblocks = len(starts)
+        per = -(-nblocks // nd) if nblocks else 0   # max blocks per chip
+        self.nd = nd
+        self.chunk = chunk
+        self.per_chip = per
+        self.c0 = [min(i * per, nblocks) for i in range(nd)]
+        self.c1 = [min((i + 1) * per, nblocks) for i in range(nd)]
+        self.r0 = np.asarray(
+            [starts[self.c0[i]] if self.c0[i] < self.c1[i] else 0
+             for i in range(nd)], np.int64)
+        spans = [
+            int(starts[self.c1[i] - 1] + chunk - self.r0[i])
+            if self.c0[i] < self.c1[i] else chunk
+            for i in range(nd)
+        ]
+        self.slab_rows = bucket_rows(max(spans + [chunk]))
+        self.starts = starts
+
+    def launches(self, Bl: int):
+        """Yield ``(idxs, starts_local)`` per launch: ``idxs`` is the
+        global block index per batch slot (None = pad, discarded on host),
+        chip-major; ``starts_local`` is the [nd, Bl] slab-relative start
+        matrix (pad slots read local row 0 and are dropped)."""
+        n_launches = -(-self.per_chip // Bl) if self.per_chip else 0
+        for k in range(n_launches):
+            idxs: list = []
+            sl = np.zeros((self.nd, Bl), np.int32)
+            for i in range(self.nd):
+                for j in range(Bl):
+                    g = self.c0[i] + k * Bl + j
+                    if g < self.c1[i]:
+                        idxs.append(int(g))
+                        sl[i, j] = int(self.starts[g] - self.r0[i])
+                    else:
+                        idxs.append(None)
+            yield idxs, sl
+
+    def slab_stack(self, band) -> np.ndarray:
+        """[nd, slab_rows, Dl] host stack of per-chip slabs (zero-padded);
+        total bytes = band rows + inter-chip overlaps, NOT nd x band."""
+        nd, R = self.nd, self.slab_rows
+        out = np.zeros((nd, R, band.shape[1]), band.dtype)
+        for i in range(nd):
+            seg = band[self.r0[i]: self.r0[i] + R]
+            out[i, : seg.shape[0]] = seg
+        return out
+
+
 class MeshRunner:
     """Band-resident sharded execution over a (block, row) mesh.
 
@@ -60,17 +124,34 @@ class MeshRunner:
     (redundant FLOPs, zero communication). Outputs come back as the same
     packed two-buffer D2H the single-chip band path uses.
 
+    ``band_placement="rowshard"`` replaces replication with row-sharded
+    slabs (see :class:`RowShardPlan`): each chip uploads and holds ONLY the
+    band rows of its own contiguous block range (+ the block overlap), so
+    total H2D stays ~one band and per-chip HBM is bounded by the slab — the
+    right trade at 1kb genome scale where a replicated chr1 band is 2 GB
+    per chip (docs/SCALING.md). Normalization happens on the host in this
+    mode (the windowed per-diagonal z-score needs full-column context);
+    detection is embarrassingly parallel via ``shard_map`` with zero
+    collectives.
+
     The legacy dense entry ``runner(detector, blocks)`` remains for callers
     that already hold a dense [B, N, N] batch (or a tuple of two for the
     differential detector)."""
 
-    def __init__(self, mesh):
+    def __init__(self, mesh, band_placement: str = "replicate"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if band_placement not in ("replicate", "rowshard"):
+            raise ValueError(f"unknown band_placement {band_placement!r}")
         self.mesh = mesh
+        self.band_placement = band_placement
         self._band_sh = NamedSharding(mesh, P())          # replicated
         self._starts_sh = NamedSharding(mesh, P("block"))
+        self._slab_sh = NamedSharding(mesh, P("block", None, None))
+        self._starts2_sh = NamedSharding(mesh, P("block", None))
         self._dense_sh = block_sharding(mesh)
+        self._rs_cache: dict = {}
+        self.last_plan: RowShardPlan | None = None
 
     @property
     def nb(self) -> int:
@@ -95,6 +176,67 @@ class MeshRunner:
         every chip gets the same per-launch block count)."""
         return -(-b // self.nb) * self.nb
 
+    # -- row-sharded band placement (band_placement="rowshard") ------------
+    def plan_rowshard(self, starts, chunk: int) -> RowShardPlan:
+        """Contiguous block->chip assignment + slab geometry for this
+        chromosome's block grid; remembered for byte accounting."""
+        self.last_plan = RowShardPlan(starts, chunk, self.nb)
+        return self.last_plan
+
+    def place_band_rowshard(self, band, plan: RowShardPlan, log=None):
+        """Upload the per-chip slabs, sharded over the ``block`` axis:
+        chip i receives ONLY slab i (total H2D ~= one band + overlaps)."""
+        import jax
+
+        stack = plan.slab_stack(band)
+        if log is not None:
+            log.event("rowshard_band",
+                      chips=plan.nd,
+                      per_chip_mb=round(stack[0].nbytes / 1e6, 2),
+                      total_mb=round(stack.nbytes / 1e6, 2),
+                      replicated_mb=round(band.nbytes * plan.nd / 1e6, 2))
+        return jax.device_put(stack, self._slab_sh)
+
+    def _rowshard_fn(self, detector, slab_rows: int, Dl: int, Bl: int):
+        """shard_map'd detector launch: each chip runs the packed band
+        detector on its local slab and its Bl-slot local starts row; the
+        packed outputs concatenate over the block axis. Zero collectives."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        key = (slab_rows, Dl, Bl, id(detector._fn_band_packed))
+        fn = self._rs_cache.get(key)
+        if fn is None:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            inner = detector._fn_band_packed
+
+            def local(band3, starts2, st, lp):
+                return inner(band3[0], starts2[0], st, lp)
+
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P("block", None, None), P("block", None),
+                          P(), P()),
+                out_specs=P("block")))
+            self._rs_cache[key] = fn
+        return fn
+
+    def run_rowshard(self, detector, band_stack, starts_local):
+        """One launch: ``band_stack`` [nd, slab_rows, Dl] (placed),
+        ``starts_local`` [nd, Bl] slab-relative block starts."""
+        import jax
+
+        st, lp = detector._scalars
+        fn = self._rowshard_fn(detector, band_stack.shape[1],
+                               band_stack.shape[2], starts_local.shape[1])
+        starts_dev = jax.device_put(
+            np.asarray(starts_local, np.int32), self._starts2_sh)
+        return fn(band_stack, starts_dev, st, lp)
+
     def __call__(self, detector, blocks):
         import jax
 
@@ -113,9 +255,13 @@ class MeshRunner:
         return out
 
 
-def make_runner(mesh) -> MeshRunner:
-    """Build the band-resident sharded runner for ``mesh``."""
-    return MeshRunner(mesh)
+def make_runner(mesh, band_placement: str = "replicate") -> MeshRunner:
+    """Build the band-resident sharded runner for ``mesh``.
+
+    ``band_placement``: "replicate" (default; every chip holds the band)
+    or "rowshard" (each chip holds only its contiguous block range's rows —
+    the 1kb/pod-scale memory- and transfer-bound mode)."""
+    return MeshRunner(mesh, band_placement)
 
 
 def initialize_distributed(coordinator: str | None = None,

@@ -44,16 +44,22 @@ HG38_SIZES = {
 }
 
 
-def plan_shapes(cfg, n_bins_list):
+def plan_shapes(cfg, n_bins_list, diff: bool = False):
     """The distinct compile jobs a run over chromosomes of ``n_bins_list``
     bins would trigger: ``(detector (rows, Dl, B) shapes, normalize
-    keys)`` — both small sets thanks to row bucketing and pow2 batches."""
+    keys)`` — both small sets thanks to row bucketing and pow2 batches.
+    ``diff`` selects the differential batch picker (its memory cap differs
+    from the single-map one, so the compiled B can differ too)."""
     import jax
 
     from mustache_tpu.bandnorm import _norm_key, bucket_rows
     from mustache_tpu.config import chunk_grid
     from mustache_tpu.detect import band_width
-    from mustache_tpu.pipeline import _auto_batch
+
+    if diff:
+        from mustache_tpu.diff import _auto_batch_diff as batch_fn
+    else:
+        from mustache_tpu.pipeline import _auto_batch as batch_fn
 
     width = cfg.chunk_size
     d_px = cfg.distance_px
@@ -63,7 +69,7 @@ def plan_shapes(cfg, n_bins_list):
     for n in n_bins_list:
         rows = bucket_rows(max(n, width))
         start, _ = chunk_grid(n, width, d_px)
-        B = _auto_batch(width, cfg, backend, len(start))
+        B = batch_fn(width, cfg, backend, len(start))
         shapes.add((rows, Dl, B))
         norm_keys.add(_norm_key(rows, Dl, n, cfg.resolution, d_px))
     return sorted(shapes), sorted(norm_keys, key=repr)
@@ -98,16 +104,18 @@ def warm(cfg, n_bins_list, *, diff: bool = False, log=None):
                 log(f"normalize rows={rows} Dl={Dl} {dt.__name__}: "
                     f"{time.time() - t0:.1f}s")
 
-    dets = [build_detector(cfg, cfg.chunk_size)]
+    det_jobs = [(build_detector(cfg, cfg.chunk_size), shapes, 1)]
     if diff:
         from mustache_tpu.diff import build_diff_detector
-        dets.append(build_diff_detector(cfg, cfg.chunk_size))
+        # the differential batch picker has its own memory cap, so its
+        # (rows, Dl, B) shape set can differ from the single-map one
+        det_jobs.append((build_diff_detector(cfg, cfg.chunk_size),
+                         plan_shapes(cfg, n_bins_list, diff=True)[0], 2))
     scalar = jax.ShapeDtypeStruct((), dtype)
-    for det in dets:
-        for rows, Dl, B in shapes:
+    for det, det_shapes, nbands in det_jobs:
+        for rows, Dl, B in det_shapes:
             band = jax.ShapeDtypeStruct((rows, Dl), dtype)
             starts = jax.ShapeDtypeStruct((B,), jnp.int32)
-            nbands = 2 if det.__class__.__name__ == "DiffBlockDetector" else 1
             t0 = time.time()
             det._fn_band_packed.lower(
                 *([band] * nbands), starts, scalar, scalar).compile()

@@ -115,3 +115,41 @@ def test_gate_failure_does_not_shift_prefetch(tmp_path):
               if l.split("\t")[0] == "23"]
     solo_rows = open(solo).read().splitlines()[1:]
     assert rows23 == solo_rows and len(solo_rows) > 0
+
+
+def test_cli_engine_warmup_matches(tmp_path):
+    """--engine-warmup (AOT compile before ingest) must not change any
+    output row, and must run its compile jobs when sizes are known."""
+    res = 5000
+    path = tmp_path / "w.txt"
+    x, y, v, _ = synthetic_hic(1200, 150, seed=8, n_loops=20)
+    with open(path, "w") as fh:
+        for a, b, c in zip(x, y, v):
+            fh.write(f"chr21\t{a*res}\tchr21\t{b*res}\t{c}\n")
+    cz = tmp_path / "sizes.txt"
+    cz.write_text(f"chr21\t{1200 * res}\n")
+    outs = []
+    for extra in ([], ["--engine-warmup", "-cz", str(cz)]):
+        out = str(tmp_path / f"loops{len(extra)}.tsv")
+        rc = main(["-f", str(path), "-ch", "21", "-r", "5kb", "-o", out,
+                   "-d", "750kb", "-pt", "0.2", "-st", "0.6"] + extra)
+        assert rc == 0
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    assert len(outs[0].splitlines()) > 2
+
+
+def test_cli_engine_warmup_without_sizes_skips(tmp_path, capsys):
+    """Text input without -cz: shapes are unknowable ahead of ingest, so
+    warmup is skipped (with a log note) and the run still completes."""
+    res = 5000
+    path = tmp_path / "nosizes.txt"
+    x, y, v, _ = synthetic_hic(1200, 150, seed=8, n_loops=20)
+    with open(path, "w") as fh:
+        for a, b, c in zip(x, y, v):
+            fh.write(f"chr21\t{a*res}\tchr21\t{b*res}\t{c}\n")
+    out = str(tmp_path / "o.tsv")
+    rc = main(["-f", str(path), "-ch", "21", "-r", "5kb", "-o", out,
+               "-d", "750kb", "-pt", "0.2", "-st", "0.6", "--engine-warmup"])
+    assert rc == 0
+    assert len(open(out).read().splitlines()) > 2

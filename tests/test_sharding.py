@@ -112,3 +112,76 @@ def test_diff_pipeline_with_sharded_runner_matches():
            [(a, b, s, t) for a, b, _, s, t in shard]
     np.testing.assert_allclose([q for _, _, q, _, _ in base],
                                [q for _, _, q, _, _ in shard], rtol=1e-3)
+
+
+def test_rowshard_pipeline_matches():
+    """Row-sharded band placement: same loop calls as the default pipeline
+    (host-vs-device normalize differ by f32 rounding only), and the
+    per-chip slab is genuinely smaller than the full band."""
+    from mustache_tpu.bandnorm import bucket_rows
+    from mustache_tpu.runlog import RunLog
+
+    d_px = 200
+    n_bins = 9000                     # 5 blocks of 2000^2
+    x, y, v, _ = synthetic_hic(n_bins, d_px, seed=91, n_loops=80)
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", block_batch=2)
+    base = detect_loops_coo(x, y, v.copy(), cfg)
+    assert len(base) > 5
+
+    mesh = make_mesh(n_block=4, n_row=1)
+    runner = make_runner(mesh, band_placement="rowshard")
+    log = RunLog(quiet=True)
+    shard = detect_loops_coo(x, y, v.copy(), cfg, runner=runner, log=log)
+    assert [(l.bin1, l.bin2, l.scale) for l in base] == \
+           [(l.bin1, l.bin2, l.scale) for l in shard]
+    # host-vs-device normalize differ by f32 rounding (~1e-3 rel on q)
+    np.testing.assert_allclose([l.q for l in base], [l.q for l in shard],
+                               rtol=5e-3)
+
+    # slab < band: the memory/transfer win actually happened
+    plan = runner.last_plan
+    assert plan is not None
+    assert plan.slab_rows < bucket_rows(n_bins)
+    ev = [e for e in log.events if e["event"] == "rowshard_band"]
+    assert ev and ev[0]["per_chip_mb"] < ev[0]["replicated_mb"] / 2
+
+
+def test_rowshard_bit_identical_across_mesh_sizes():
+    """The rowshard data path at 1, 2, 4, 8 chips is bit-identical to
+    itself: slab contents equal the global band rows, pad slots drop, and
+    the final block-order sort restores the reference output order."""
+    d_px = 150
+    x, y, v, _ = synthetic_hic(5200, d_px, seed=92, n_loops=50)
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", block_batch=1)
+    rows = None
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(n_block=nd, n_row=1, devices=jax.devices()[:nd])
+        runner = make_runner(mesh, band_placement="rowshard")
+        got = detect_loops_coo(x, y, v.copy(), cfg, runner=runner)
+        sig = [(l.bin1, l.bin2, l.q, l.scale) for l in got]
+        if rows is None:
+            rows = sig
+            assert len(rows) > 3
+        else:
+            assert sig == rows, f"nd={nd} diverged"
+
+
+def test_rowshard_regrow():
+    """Candidate-table overflow reruns the block from the HOST band in
+    rowshard mode (the device band is sharded); calls must match."""
+    d_px = 120
+    x, y, v, _ = synthetic_hic(2500, d_px, seed=93, n_loops=40,
+                               loop_strength=6.0)
+    big = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=4096)
+    mesh = make_mesh(n_block=4, n_row=1)
+    ref = detect_loops_coo(x, y, v.copy(), big,
+                           runner=make_runner(mesh, "rowshard"))
+    assert len(ref) > 5
+    tiny = big.with_(max_candidates=16)
+    got = detect_loops_coo(x, y, v.copy(), tiny,
+                           runner=make_runner(mesh, "rowshard"))
+    assert [(l.bin1, l.bin2, l.q, l.scale) for l in got] == \
+           [(l.bin1, l.bin2, l.q, l.scale) for l in ref]

@@ -37,3 +37,29 @@ def test_warm_smoke():
     jobs = warm(cfg, [500], log=msgs.append)
     # 3 normalize variants (f32/u16/u8) + 1 detector shape
     assert jobs == 4 and len(msgs) == 4
+
+
+def test_warm_diff_uses_diff_batch_picker():
+    """Differential warmup must enumerate the DIFF batch picker's shapes
+    (its memory cap differs from the single-map one)."""
+    from mustache_tpu.diff import _auto_batch_diff
+    from mustache_tpu.pipeline import _auto_batch
+    import jax
+
+    cfg = DetectionConfig(resolution=100_000, distance_bp=2_000_000)
+    shapes_s, _ = plan_shapes(cfg, [500])
+    shapes_d, _ = plan_shapes(cfg, [500], diff=True)
+    backend = jax.default_backend()
+    from mustache_tpu.config import chunk_grid
+    nblocks = len(chunk_grid(500, cfg.chunk_size, cfg.distance_px)[0])
+    assert shapes_s[0][2] == _auto_batch(cfg.chunk_size, cfg, backend, nblocks)
+    assert shapes_d[0][2] == _auto_batch_diff(cfg.chunk_size, cfg, backend,
+                                              nblocks)
+
+
+def test_warm_diff_smoke():
+    cfg = DetectionConfig(resolution=100_000, distance_bp=2_000_000)
+    msgs = []
+    jobs = warm(cfg, [500], diff=True, log=msgs.append)
+    # 3 normalize variants + 1 single-map + 1 diff detector shape
+    assert jobs == 5 and len(msgs) == 5

@@ -284,6 +284,39 @@ def _measure_diff_baseline(x1, y1, v1, x2, y2, v2, cfg, mb, d_px):
     return 2 * mb / elapsed
 
 
+def _measure_fresh_process(tag, cfg_args):
+    """Fresh-PROCESS end-to-end wall clock (the VERDICT r03 'warmed cold'):
+    what a user pays for a chr21-scale run in a brand-new process after the
+    one-time `mustache_tpu.warmup` pass — backend init + persistent-cache
+    hits + dispatch + the full pipeline. The in-process 'cold' above it
+    conflates first-compile cost; this isolates the steady-state UX."""
+    import subprocess
+
+    code = f"""
+import os, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+sys.path.insert(0, {os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")!r})
+t0 = time.time()
+from bench import build_workload, _setup_jax_cache
+_setup_jax_cache()
+from mustache_tpu.config import DetectionConfig
+from mustache_tpu.pipeline import detect_loops_coo
+x, y, v = build_workload()
+cfg = DetectionConfig({cfg_args})
+loops = detect_loops_coo(x, y, v.copy(), cfg)
+print(f"FRESH {{time.time() - t0:.2f}} {{len(loops)}}")
+"""
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900)
+    wall = time.time() - t0
+    line = [l for l in r.stdout.splitlines() if l.startswith("FRESH")]
+    inner = float(line[0].split()[1]) if line else float("nan")
+    print(f"# fresh-process {tag}: wall {wall:.1f}s inner {inner:.1f}s",
+          file=sys.stderr)
+    return wall
+
+
 def main():
     jax = _setup_jax_cache()
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") \
@@ -292,6 +325,23 @@ def main():
               "falling back to CPU — numbers below are NOT chip numbers",
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
+    # warmed fresh-process end-to-end (VERDICT r03 item 6): what a user
+    # pays in a brand-new process AFTER the one-time warmup (here: the
+    # persistent cache populated by any prior bench/warmup run on this
+    # machine). Measured FIRST, before this process initializes the
+    # device — a fresh process sharing the chip with a live parent
+    # crawls (415 s observed vs ~7 s solo).
+    fresh = _measure_fresh_process(
+        "chr21 5kb",
+        "resolution=5000, distance_bp=2_000_000, pt=0.1, st=0.8, "
+        "precision='float32'")
+    print(json.dumps({
+        "metric": "chr21_5kb_fresh_process_s",
+        "value": round(fresh, 2),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }))
+
     backend = jax.default_backend()
     from mustache_tpu.config import DetectionConfig
 
@@ -340,7 +390,10 @@ def main():
     # ---- .cool chr12 5kb, ingest-inclusive (config-2 shape) --------------
     cfg_cool = DetectionConfig(resolution=5000, distance_bp=2_000_000,
                                pt=0.1, st=0.8, precision="float32")
-    value_cool = _measure_cool(cfg_cool, warm_runs=1)
+    # 3 warm reps: read_cooler alone varies 0.7-5.5s with page cache/VM
+    # throttle (docs/PERF.md); min-of-3 reports steady state, the stderr
+    # line records the spread
+    value_cool = _measure_cool(cfg_cool, warm_runs=3)
     if "mb_per_s_cool" not in base:
         from mustache_tpu.io.cool import read_cooler
 

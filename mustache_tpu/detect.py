@@ -136,12 +136,19 @@ def _blur_ladder(c, kernels):
     pad_rows = nslab * SLAB - N
     cpad = jnp.pad(cpad, ((0, 0), (0, pad_rows), (0, 0)))
 
-    def do_slab(k):
-        rows = lax.dynamic_slice_in_dim(cpad, k * SLAB, SLAB + 2 * R, axis=1)
-        return pass2(pass1(rows[:, None]))        # [M, S, SLAB, N]
+    # accumulate slabs by dynamic_update_slice into a standard-layout
+    # buffer: the earlier lax.map + moveaxis form materialized the
+    # transpose with a batch-minor T(4,128) layout (batch 8 padded to
+    # 128 lanes — a 16x HBM blowup at [8, S', 2000, 2000])
+    def body(k, acc):
+        rows = lax.dynamic_slice_in_dim(cpad, k * SLAB, SLAB + 2 * R,
+                                        axis=1)
+        out = pass2(pass1(rows[:, None]))         # [M, S, SLAB, N]
+        return lax.dynamic_update_slice_in_dim(acc, out, k * SLAB, axis=2)
 
-    g = lax.map(do_slab, np.arange(nslab))        # [nslab, M, S, SLAB, N]
-    g = jnp.moveaxis(g, 0, 2).reshape(M, S, nslab * SLAB, N)[:, :, :N]
+    g = lax.fori_loop(0, nslab, body,
+                      jnp.zeros((M, S, nslab * SLAB, N), cpad.dtype))
+    g = g[:, :, :N]
     return g[0] if single else g
 
 
@@ -678,7 +685,7 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         from mustache_tpu.kernels.fused_ladder import fused_ladder_nms_batched
         KR, WC, R, TOPPAD, WINROWS = fused_mats
 
-        def fn_base(blocks, st, log_pt):
+        def fn_base(blocks, st, log_pt, valid=None):
             cs, nzs, _ = jax.vmap(
                 lambda c: _preamble(c.astype(dtype), d_px, True))(blocks)
             bv, bsig, locs, sums = fused_ladder_nms_batched(
@@ -686,24 +693,32 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
                 WINROWS=WINROWS, n_octaves=len(octave_values),
                 planes_per_octave=spec.planes_per_octave,
                 DB=band_width(blocks.shape[1], d_px),
-                interpret=pallas_interpret)
+                valid=valid, interpret=pallas_interpret)
             return jax.vmap(
                 lambda c, a, b, l, s: one(c, st, log_pt,
                                           band_state=(a, b, l, s)),
                 in_axes=(0, 0, 0, 0, 0))(blocks, bv, bsig, locs, sums)
 
-        fn = jax.jit(fn_base)
+        fn = jax.jit(lambda blocks, st, lp: fn_base(blocks, st, lp))
     else:
-        fn_base = jax.vmap(one, in_axes=(0, None, None))
-        fn = jax.jit(fn_base)
+        def fn_base(blocks, st, log_pt, valid=None):
+            # the XLA path computes pad slots at full price (CPU/testing
+            # path; the TPU default is the fused kernel with pad skip)
+            return jax.vmap(one, in_axes=(0, None, None))(blocks, st,
+                                                          log_pt)
+        fn = jax.jit(lambda blocks, st, lp: fn_base(blocks, st, lp))
 
     def fn_band_base(band, starts, st, log_pt):
         # chromosome band resident on device; each block is a dynamic row
-        # slice + dense reconstruction — no per-batch H2D at all
+        # slice + dense reconstruction — no per-batch H2D at all.
+        # Pad batch slots carry start -1: their slice clamps to row 0 and
+        # the fused kernel skips their compute entirely (valid mask)
+        valid = (starts >= 0).astype(jnp.int32)
         blocks = jax.vmap(
             lambda s: dense_from_band(
-                lax.dynamic_slice_in_dim(band, s, n, axis=0)))(starts)
-        return fn_base(blocks, st, log_pt)
+                lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n,
+                                         axis=0)))(starts)
+        return fn_base(blocks, st, log_pt, valid)
 
     fn_band = jax.jit(fn_band_base)
     fn_band_packed = jax.jit(

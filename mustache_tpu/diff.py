@@ -42,7 +42,8 @@ from mustache_tpu.scalespace import LadderSpec, build_ladder
 
 
 def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
-                     planes_per_octave, n_octaves, d_px, intra, K):
+                     planes_per_octave, n_octaves, d_px, intra, K,
+                     band_states=None, diff_p_band=None):
     dtype = c1.dtype
     st = st.astype(dtype)
     log_pt = log_pt.astype(dtype)
@@ -72,17 +73,20 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     # octave and never rolls it (diff_mustache.py:337 — the inner loop
     # reassigns Lc1/Lc2 but not Lc), so the folded-normal differential
     # p-value is FROZEN per octave
-    G = _blur_ladder(jnp.stack([c1, c2]), kernels)      # [2, S, N, N]
     sel = np.concatenate([[o * bpo + 1, o * bpo + 2]
                           for o in range(n_octaves)])
-    Gdiff = _blur_ladder(cd, kernels[sel])              # [2*n_oct, N, N]
+    if diff_p_band is None:
+        Gdiff = _blur_ladder(cd, kernels[sel])          # [2*n_oct, N, N]
 
     geom = _BandGeom(c1, d_px)
     Dl = geom.Dl
     zerof = dtype.type(0.0)
-    Gb = jax.vmap(lambda g: geom.shear(g, zerof))(
-        G.reshape(2 * S, N, N)).reshape(2, S, N, Dl)
-    Gdb = jax.vmap(lambda g: geom.shear(g, zerof))(Gdiff)  # [2*n_oct, N, Dl]
+    if band_states is None:
+        G = _blur_ladder(jnp.stack([c1, c2]), kernels)  # [2, S, N, N]
+        Gb = jax.vmap(lambda g: geom.shear(g, zerof))(
+            G.reshape(2 * S, N, N)).reshape(2, S, N, Dl)
+    if diff_p_band is None:
+        Gdb = jax.vmap(lambda g: geom.shear(g, zerof))(Gdiff)  # [2*n_oct, N, Dl]
 
     pinf = dtype.type(np.inf)
     zero = dtype.type(0.0)
@@ -130,34 +134,78 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
             return (tuple(new_roll), new_states[0], new_states[1]), None
         return step
 
-    zb = jnp.zeros((N, Dl), dtype)
-    states = {m: (zb,                               # best_v
-                  jnp.full((N, Dl), pinf, dtype),   # best_logp
-                  jnp.full((N, Dl), sent, dtype),   # best_pair
-                  jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
-              for m in (1, 2)}
-    for o in range(n_octaves):
-        G1 = Gb[0, o * bpo:(o + 1) * bpo]
-        G2 = Gb[1, o * bpo:(o + 1) * bpo]
-        L1 = G1[:-1] - G1[1:]
-        L2 = G2[:-1] - G2[1:]
-        # the octave's frozen difference DoG plane and its folded-normal
-        # p-value, fit on the joint support (diff_mustache.py:337,371-385)
-        Lcf = Gdb[2 * o] - Gdb[2 * o + 1]
-        mu = jnp.sum(Lcf * nzbd_f) * inv_nzd
-        var = jnp.sum(jnp.where(nzbd, (Lcf - mu) ** 2, zero)) * inv_nzd
-        sd = jnp.sqrt(var)
-        phi = jax.scipy.stats.norm.cdf(Lcf, loc=mu, scale=sd)
-        phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
-        diff_p = jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0
-        planes = np.arange(o * planes_per_octave,
-                           (o + 1) * planes_per_octave, dtype=np.int32)
-        roll = (L1[0], L1[1], geom.max3x3_band(L1[0]), geom.max3x3_band(L1[1]),
-                L2[0], L2[1], geom.max3x3_band(L2[0]), geom.max3x3_band(L2[1]))
-        carry, _ = lax.scan(
-            make_step(diff_p), (roll, states[1], states[2]),
-            (L1[2:], L2[2:], planes))
-        states = {1: carry[1], 2: carry[2]}
+    # the per-octave frozen difference DoG plane and its folded-normal
+    # p-value, fit on the joint support (diff_mustache.py:337,371-385) —
+    # shared by the scan path and the fused-kernel recovery path. The
+    # batched fused-kernel caller precomputes these planes OUTSIDE its
+    # vmap (diff_p_band): a vmapped grouped conv puts the batch dim on
+    # the 128-lane axis, a 16x HBM padding blowup at B=8.
+    if diff_p_band is not None:
+        diff_ps = [diff_p_band[o] for o in range(n_octaves)]
+    else:
+        diff_ps = []
+        for o in range(n_octaves):
+            Lcf = Gdb[2 * o] - Gdb[2 * o + 1]
+            mu = jnp.sum(Lcf * nzbd_f) * inv_nzd
+            var = jnp.sum(jnp.where(nzbd, (Lcf - mu) ** 2, zero)) * inv_nzd
+            sd = jnp.sqrt(var)
+            phi = jax.scipy.stats.norm.cdf(Lcf, loc=mu, scale=sd)
+            phi = jnp.where(jnp.isnan(phi), dtype.type(1.0), phi)
+            diff_ps.append(jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0)
+
+    if band_states is not None:
+        # fused-kernel recovery (mirrors detect._detect_one's pallas
+        # branch): per-map best response/plane come from the kernel; the
+        # per-pixel log p is rebuilt from the per-plane exponential-fit
+        # partials, the differential p from the frozen per-octave planes
+        states = {}
+        for m in (1, 2):
+            bv, bsig, locs, sums = band_states[m - 1]
+            means = sums * inv_nz[m]
+            scales_p = means - locs
+            sig_c = jnp.maximum(bsig, 0)
+            loc_map = jnp.zeros_like(bv)
+            scl_map = jnp.ones_like(bv)
+            for k in range(locs.shape[0]):
+                sel_k = sig_c == k
+                loc_map = jnp.where(sel_k, locs[k], loc_map)
+                scl_map = jnp.where(sel_k, scales_p[k], scl_map)
+            logp = -(bv - loc_map) / scl_map
+            # reference scrubs NaN p to 1 (diff_mustache.py:386-387)
+            logp = jnp.where(jnp.isnan(logp), zero, logp)
+            best_logp = jnp.where(nzb[m] & (bsig >= 0), logp, pinf)
+            best_sig = jnp.where(nzb[m], bsig, -1)
+            octv = sig_c // planes_per_octave
+            pair = diff_ps[0]
+            for o in range(1, n_octaves):
+                pair = jnp.where(octv == o, diff_ps[o], pair)
+            best_pair = jnp.where(best_sig >= 0, pair, sent)
+            # kernel init bv=0 matches the scan's best_v init (undetected
+            # support pixels export response 0, diff_mustache.py:446-449)
+            states[m] = (bv, best_logp, best_pair, best_sig)
+    else:
+        zb = jnp.zeros((N, Dl), dtype)
+        states = {m: (zb,                               # best_v
+                      jnp.full((N, Dl), pinf, dtype),   # best_logp
+                      jnp.full((N, Dl), sent, dtype),   # best_pair
+                      jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
+                  for m in (1, 2)}
+        for o in range(n_octaves):
+            G1 = Gb[0, o * bpo:(o + 1) * bpo]
+            G2 = Gb[1, o * bpo:(o + 1) * bpo]
+            L1 = G1[:-1] - G1[1:]
+            L2 = G2[:-1] - G2[1:]
+            diff_p = diff_ps[o]
+            planes = np.arange(o * planes_per_octave,
+                               (o + 1) * planes_per_octave, dtype=np.int32)
+            roll = (L1[0], L1[1],
+                    geom.max3x3_band(L1[0]), geom.max3x3_band(L1[1]),
+                    L2[0], L2[1],
+                    geom.max3x3_band(L2[0]), geom.max3x3_band(L2[1]))
+            carry, _ = lax.scan(
+                make_step(diff_p), (roll, states[1], states[2]),
+                (L1[2:], L2[2:], planes))
+            states = {1: carry[1], 2: carry[2]}
 
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}
     ceil_table = nz1_count * 0 + np.asarray(det_ceil, np.int32)
@@ -224,33 +272,130 @@ class DiffBlockDetector:
 
 @functools.lru_cache(maxsize=16)
 def _build_diff_detector_cached(octave_values: tuple, precision: str,
-                                d_px: int, n: int, max_candidates: int):
+                                d_px: int, n: int, max_candidates: int,
+                                use_pallas: bool = False,
+                                pallas_interpret: bool = False):
     spec = build_ladder(octave_values)
     dtype = jnp.float64 if precision == "float64" else jnp.float32
     kernels = spec.kernels.astype(dtype)  # numpy: lifted as an HLO literal
+    n_octaves = len(octave_values)
     kw = dict(
         det_ceil=spec.det_ceil,
         planes_per_octave=spec.planes_per_octave,
-        n_octaves=len(octave_values),
+        n_octaves=n_octaves,
         d_px=d_px,
         intra=True,
         K=max_candidates,
     )
 
-    def one(c1, c2, st, log_pt):
+    def one(c1, c2, st, log_pt, band_states=None, diff_p_band=None):
         return _diff_detect_one(c1.astype(dtype), c2.astype(dtype), st,
-                                log_pt, kernels=kernels, **kw)
+                                log_pt, kernels=kernels,
+                                band_states=band_states,
+                                diff_p_band=diff_p_band, **kw)
+
+    if use_pallas:
+        from mustache_tpu.detect import _preamble, band_width
+        from mustache_tpu.kernels.fused_ladder import (
+            build_fused_mats, fused_ladder_nms_batched,
+        )
+        KR, WC, R, TOPPAD, WINROWS = build_fused_mats(spec.kernels)
+
+        def fn_base(b1, b2, st, log_pt, valid=None):
+            # BOTH conditions' blocks through ONE fused-kernel launch
+            # (grid is [2B, steps]; the per-map expon partials and NMS
+            # states come back split); the tiny difference-map ladder
+            # (2 planes/octave) stays in XLA inside `one`. Pad batch
+            # slots appear mid-sequence in the stacked [2B] batch — the
+            # kernel's per-block valid mask handles that pattern.
+            B = b1.shape[0]
+            cs1, nz1s, _ = jax.vmap(
+                lambda c: _preamble(c.astype(dtype), d_px, True))(b1)
+            cs2, nz2s, _ = jax.vmap(
+                lambda c: _preamble(c.astype(dtype), d_px, True))(b2)
+            stacked = jnp.concatenate([cs1, cs2], axis=0)
+            nzs = jnp.concatenate([nz1s, nz2s], axis=0).astype(jnp.float32)
+            valid2 = None if valid is None else jnp.concatenate(
+                [valid, valid], axis=0)
+            bv, bsig, locs, sums = fused_ladder_nms_batched(
+                stacked, nzs, KR, WC, R=R, TOPPAD=TOPPAD, WINROWS=WINROWS,
+                n_octaves=n_octaves, planes_per_octave=spec.planes_per_octave,
+                DB=band_width(b1.shape[1], d_px),
+                valid=valid2, interpret=pallas_interpret)
+
+            # frozen per-octave differential p (diff_mustache.py:337,
+            # 371-385) computed entirely OUTSIDE the vmap — conv, batched
+            # shear (pure reshapes), and batched reductions all keep
+            # standard layouts; only elementwise selects happen inside
+            # the vmapped recovery (see _diff_detect_one's note on the
+            # 16x batch-minor padding blowup)
+            bpo = spec.planes_per_octave + 3
+            sel = np.concatenate([[o * bpo + 1, o * bpo + 2]
+                                  for o in range(n_octaves)])
+            N_ = b1.shape[1]
+            Dlb = band_width(N_, d_px)
+            zero = jnp.asarray(0.0, dtype)
+            il = lax.broadcasted_iota(jnp.int32, (N_, Dlb), 0)
+            dl = lax.broadcasted_iota(jnp.int32, (N_, Dlb), 1)
+            validl = il + dl < N_
+
+            def band_of(x, fill):
+                # batched shear via the flat [N, N+1] reinterpret
+                lead = x.shape[:-2]
+                flat = x.reshape(lead + (N_ * N_,))
+                ext = jnp.concatenate([flat, flat[..., :N_]], axis=-1)
+                bnd = ext[..., : N_ * (N_ + 1)].reshape(
+                    lead + (N_, N_ + 1))[..., :Dlb]
+                return jnp.where(validl, bnd, fill)
+
+            nzd = nz1s & nz2s
+            cds = jnp.where(nzd, cs1 - cs2, zero)
+            gd = _blur_ladder(cds, kernels[sel])       # [B, 2*n_oct, N, N]
+            gdb = band_of(gd, zero)
+            nzdb = band_of(nzd, False)
+            nzdbf = nzdb.astype(dtype)
+            inv_nzd = 1.0 / jnp.maximum(
+                jnp.sum(nzd, axis=(1, 2), dtype=jnp.int32),
+                1).astype(dtype)
+            dps = []
+            for o in range(n_octaves):
+                Lcf = gdb[:, 2 * o] - gdb[:, 2 * o + 1]    # [B, N, Dlb]
+                mu = (jnp.sum(Lcf * nzdbf, axis=(1, 2))
+                      * inv_nzd)[:, None, None]
+                var = jnp.sum(jnp.where(nzdb, (Lcf - mu) ** 2, zero),
+                              axis=(1, 2)) * inv_nzd
+                sd = jnp.sqrt(var)[:, None, None]
+                phi = jax.scipy.stats.norm.cdf(Lcf, loc=mu, scale=sd)
+                phi = jnp.where(jnp.isnan(phi), jnp.asarray(1.0, dtype),
+                                phi)
+                dps.append(jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0)
+            diff_p = jnp.stack(dps, axis=1)            # [B, n_oct, N, Dlb]
+
+            return jax.vmap(
+                lambda c1, c2, dp, a1, s1, l1, m1, a2, s2, l2, m2: one(
+                    c1, c2, st, log_pt, diff_p_band=dp,
+                    band_states=((a1, s1, l1, m1), (a2, s2, l2, m2))),
+            )(b1, b2, diff_p, bv[:B], bsig[:B], locs[:B], sums[:B],
+              bv[B:], bsig[B:], locs[B:], sums[B:])
+    else:
+        def fn_base(b1, b2, st, log_pt, valid=None):
+            return jax.vmap(one, in_axes=(0, 0, None, None))(b1, b2, st,
+                                                             log_pt)
 
     def fn_band_base(band1, band2, starts, st, log_pt):
         # chromosome bands resident on device; blocks are dynamic row
-        # slices + dense reconstruction (detect.dense_from_band)
+        # slices + dense reconstruction (detect.dense_from_band). Pad
+        # slots carry start -1 (clamped slice; kernel skips their compute)
         from mustache_tpu.detect import dense_from_band
 
         def blk(band, s):
-            return dense_from_band(lax.dynamic_slice_in_dim(band, s, n, 0))
+            return dense_from_band(
+                lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n, 0))
 
-        return jax.vmap(
-            lambda s: one(blk(band1, s), blk(band2, s), st, log_pt))(starts)
+        valid = (starts >= 0).astype(jnp.int32)
+        b1 = jax.vmap(lambda s: blk(band1, s))(starts)
+        b2 = jax.vmap(lambda s: blk(band2, s))(starts)
+        return fn_base(b1, b2, st, log_pt, valid)
 
     out_shapes = jax.eval_shape(
         one, jax.ShapeDtypeStruct((n, n), dtype),
@@ -259,19 +404,21 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
     fn_band_packed = jax.jit(
         lambda b1, b2, starts, st, lp: _pack_batched(
             fn_band_base(b1, b2, starts, st, lp)))
-    return (spec, jax.jit(jax.vmap(one, in_axes=(0, 0, None, None))),
-            jax.jit(one), jax.jit(fn_band_base), fn_band_packed,
-            _out_spec(out_shapes))
+    return (spec, jax.jit(fn_base), jax.jit(one), jax.jit(fn_band_base),
+            fn_band_packed, _out_spec(out_shapes))
 
 
 def build_diff_detector(cfg: DetectionConfig, n: int, *, intra: bool = True,
                         max_candidates: int | None = None) -> DiffBlockDetector:
+    from mustache_tpu.detect import _resolve_pallas
+
     if not intra:
         raise NotImplementedError("inter-chromosomal detection not supported")
     spec, fn, fn_single, fn_band, fn_band_packed, out_spec = \
         _build_diff_detector_cached(
             cfg.octave_values, cfg.precision, cfg.distance_px, n,
-            max_candidates or cfg.max_candidates)
+            max_candidates or cfg.max_candidates, _resolve_pallas(cfg),
+            getattr(cfg, "_pallas_interpret", False))
     return DiffBlockDetector(cfg=cfg, spec=spec, n=n, _fn=fn,
                              _fn_single=fn_single, _fn_band=fn_band,
                              _fn_band_packed=fn_band_packed,
@@ -372,10 +519,20 @@ def finish_diff_block(out: dict, *, start: int, cfg: DetectionConfig,
 
 def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
                      nblocks: int) -> int:
+    from mustache_tpu.detect import _resolve_pallas
+
     if cfg.block_batch:
         return cfg.block_batch
     if backend == "cpu":
         cap = 1
+    elif _resolve_pallas(cfg):
+        # fused-kernel path: both maps' ladders run in-kernel with no
+        # [S,N,N] stack. The cap is set by the XLA difference-map conv
+        # (2 planes/octave), whose output XLA lays out batch-minor with a
+        # (B*2oct -> 128)-lane pad: ~1 GB/block of padded HLO temp at
+        # N=2000 (measured: B=8 wants 2x7.6G and OOMs 16G HBM; B=4 fits)
+        per_block = 1000 * n * n // 4
+        cap = max(1, min(4, int(6e9 // per_block)))
     else:
         # triple ladder: ~3x the single-map XLA path's live blur buffers
         itemsize = 8 if cfg.precision == "float64" else 4
@@ -546,8 +703,9 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         bands_dev = (place(bands[0]), place(bands[1]))
 
     def pack_starts(idxs, cap):
+        # pad slots carry start -1 (fused kernel skips their compute)
         starts = np.asarray(
-            [start[i] for i in idxs] + [0] * (cap - len(idxs)), np.int32)
+            [start[i] for i in idxs] + [-1] * (cap - len(idxs)), np.int32)
         return runner.place_starts(starts) if runner is not None else starts
 
     def launch(idxs):

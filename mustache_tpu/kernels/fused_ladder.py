@@ -101,8 +101,8 @@ def build_fused_mats(kernels: np.ndarray):
     return KR, TT, R, TOPPAD, WINROWS
 
 
-def _fused_kernel(kr_ref, tt_ref, c_hbm, nz_hbm, bv_ref, bs_ref, part_ref,
-                  cbuf, nzbuf, rc3, gtmp, sem_c, sem_z, *,
+def _fused_kernel(kr_ref, tt_ref, valid_ref, c_hbm, nz_hbm, bv_ref, bs_ref,
+                  part_ref, cbuf, nzbuf, rc3, gtmp, sem_c, sem_z, *,
                   N, W, R, TOPPAD, WINROWS, WCOLS, CFULL, ZFULL, n_octaves,
                   planes_per_octave):
     pb = pl.program_id(0)
@@ -129,136 +129,154 @@ def _fused_kernel(kr_ref, tt_ref, c_hbm, nz_hbm, bv_ref, bs_ref, part_ref,
             nzbuf.at[slot], sem_z.at[slot])
         return dc, dz
 
-    # double buffering: warm up on the first step, then each step prefetches
-    # the next window while computing on the current one
-    @pl.when(lin == 0)
+    # pad-slot skip: pow2 batch shaping zero-pads trailing batch slots
+    # (pipeline._pick_batch), and each pad slot would otherwise run the
+    # full blur ladder (~45ms/block on v5e). valid[pb]==0 blocks skip
+    # their DMAs and all compute, writing empty state instead. The
+    # prefetch chain stays intact: every step starts the NEXT step's DMA
+    # iff that step's block is valid, so skipped blocks never break the
+    # double buffering for later valid blocks (the diff path's stacked
+    # [2B] batch has pads mid-sequence, not just at the tail).
+    my_valid = valid_ref[pb] > 0
+
+    @pl.when((lin == 0) & my_valid)
     def _():
         for d in dmas(lin, 0):
             d.start()
 
-    @pl.when(lin < last)
+    @pl.when((lin < last) & (valid_ref[(lin + 1) // nchunk] > 0))
     def _():
         for d in dmas(lin + 1, (lin + 1) % 2):
             d.start()
 
-    slot = lin % 2
-    for d in dmas(lin, slot):
-        d.wait()
+    @pl.when(~my_valid)
+    def _():
+        bv_ref[0] = jnp.zeros((SUB, W), jnp.float32)
+        bs_ref[0] = jnp.full((SUB, W), -1, jnp.int32)
+        part_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
 
-    col0 = pl.multiple_of(p0 * 128, 128)
-    cb = cbuf[slot, :, pl.ds(col0, WCOLS)]   # [WINROWS, WCOLS] padded window
-    nzf = nzbuf[slot, :, pl.ds(col0, W)]     # [SUB, W] dense support mask
-    nz = nzf > 0.5
+    @pl.when(my_valid)
+    def _():
+        slot = lin % 2
+        for d in dmas(lin, slot):
+            d.wait()
 
-    base = p0 * SUB
-    # out-of-matrix validity as a rank-1 outer product (full-size iotas
-    # would each cost as much scratch as a blur plane)
-    drow = base - 1 + lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-    rv = ((drow >= 0) & (drow < N)).astype(jnp.float32)
-    cv = ((col0 + lax.broadcasted_iota(jnp.int32, (1, W), 1)) < N
-          ).astype(jnp.float32)
+        col0 = pl.multiple_of(p0 * 128, 128)
+        cb = cbuf[slot, :, pl.ds(col0, WCOLS)]  # [WINROWS, WCOLS] window
+        nzf = nzbuf[slot, :, pl.ds(col0, W)]    # [SUB, W] dense support
+        nz = nzf > 0.5
 
-    def max3(a):
-        # dense 3x3 max with constant-0 pad: a static stencil in staircase
-        # coords. Lane shifts via roll+mask (Mosaic cannot concat
-        # offset-mismatched vectors); the lane-edge zero fills only touch
-        # cells never on the support band.
-        lanes = lax.broadcasted_iota(jnp.int32, a.shape, 1)
-        left = jnp.where(lanes == 0, 0.0, pltpu.roll(a, 1, 1))
-        right = jnp.where(lanes == a.shape[1] - 1, 0.0,
-                          pltpu.roll(a, a.shape[1] - 1, 1))
-        h = jnp.maximum(jnp.maximum(left, a), right)
-        return jnp.maximum(jnp.maximum(h[:-2], h[1:-1]), h[2:])
+        base = p0 * SUB
+        # out-of-matrix validity as a rank-1 outer product (full-size iotas
+        # would each cost as much scratch as a blur plane)
+        drow = base - 1 + lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+        rv = ((drow >= 0) & (drow < N)).astype(jnp.float32)
+        cv = ((col0 + lax.broadcasted_iota(jnp.int32, (1, W), 1)) < N
+              ).astype(jnp.float32)
 
-    lane8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    vec = jnp.zeros((8, 128), jnp.float32)
-    best_v = jnp.zeros((SUB, W), jnp.float32)
-    best_sig = jnp.full((SUB, W), -1, jnp.int32)
+        def max3(a):
+            # dense 3x3 max with constant-0 pad: a static stencil in
+            # staircase coords. Lane shifts via roll+mask (Mosaic cannot
+            # concat offset-mismatched vectors); the lane-edge zero fills
+            # only touch cells never on the support band.
+            lanes = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            left = jnp.where(lanes == 0, 0.0, pltpu.roll(a, 1, 1))
+            right = jnp.where(lanes == a.shape[1] - 1, 0.0,
+                              pltpu.roll(a, a.shape[1] - 1, 1))
+            h = jnp.maximum(jnp.maximum(left, a), right)
+            return jnp.maximum(jnp.maximum(h[:-2], h[1:-1]), h[2:])
 
-    # one octave at a time: DoG planes never cross octaves, so only the
-    # best-response state carries over — this caps live VMEM at one
-    # octave's row-conv output plus a rolling window of blur planes
-    for o in range(n_octaves):
-        # row pass: one matmul against the static banded weight matrix,
-        # split per sigma into a 3D scratch (leading-dim indexable by the
-        # traced plane counter; sublane offsets would need 8-alignment)
-        rc2 = lax.dot_general(
-            kr_ref[o], cb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST)        # [12*GROUP, WCOLS]
-        for s in range(12):
-            rc3[s] = rc2[s * GROUP:(s + 1) * GROUP]
+        lane8 = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        vec = jnp.zeros((8, 128), jnp.float32)
+        best_v = jnp.zeros((SUB, W), jnp.float32)
+        best_sig = jnp.full((SUB, W), -1, jnp.int32)
 
-        def blur(k):
-            """Column pass for sigma index ``k`` (static or traced) as
-            banded-Toeplitz MXU matmuls, one per 128-lane output block;
-            out-of-matrix rows/cols zeroed so DoG there reproduces the
-            dense maximum_filter's constant-0 padding."""
-            src = rc3[k]
-            tt = tt_ref[o, k]
-            for b in range(W // 128):
-                gtmp[:, b * 128:(b + 1) * 128] = lax.dot_general(
-                    src[:, b * 128:b * 128 + TWIN], tt,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)
-            return gtmp[:] * rv * cv                # [GROUP, W]
+        # one octave at a time: DoG planes never cross octaves, so only the
+        # best-response state carries over — this caps live VMEM at one
+        # octave's row-conv output plus a rolling window of blur planes
+        for o in range(n_octaves):
+            # row pass: one matmul against the static banded weight matrix,
+            # split per sigma into a 3D scratch (leading-dim indexable by
+            # the traced plane counter; sublane offsets need 8-alignment)
+            rc2 = lax.dot_general(
+                kr_ref[o], cb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST)    # [12*GROUP, WCOLS]
+            for s in range(12):
+                rc3[s] = rc2[s * GROUP:(s + 1) * GROUP]
 
-        G0 = blur(0)
-        G1 = blur(1)
-        Lp = G0 - G1
-        mP = max3(Lp)
-        G2 = blur(2)
-        Lc = G1 - G2
-        mC = max3(Lc)
+            def blur(k):
+                """Column pass for sigma index ``k`` (static or traced) as
+                banded-Toeplitz MXU matmuls, one per 128-lane output block;
+                out-of-matrix rows/cols zeroed so DoG there reproduces the
+                dense maximum_filter's constant-0 padding."""
+                src = rc3[k]
+                tt = tt_ref[o, k]
+                for b in range(W // 128):
+                    gtmp[:, b * 128:(b + 1) * 128] = lax.dot_general(
+                        src[:, b * 128:b * 128 + TWIN], tt,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+                return gtmp[:] * rv * cv            # [GROUP, W]
 
-        def plane_body(j, carry):
-            # fori_loop (not unrolled) so Mosaic reuses one plane's
-            # temporaries across all nine planes of the octave
-            Lp, Lc, mP, mC, Glast, best_v, best_sig, vec = carry
-            plane = o * planes_per_octave + j - 1
-            Gnew = blur(j + 2)
-            Ln = Glast - Gnew
-            mN = max3(Ln)
-            Lpi = Lp[1:-1]
-            Lci = Lc[1:-1]
-            Lni = Ln[1:-1]
+            G0 = blur(0)
+            G1 = blur(1)
+            Lp = G0 - G1
+            mP = max3(Lp)
+            G2 = blur(2)
+            Lc = G1 - G2
+            mC = max3(Lc)
 
-            # per-tile exponential-fit partials on |Lc| over the support
-            al = jnp.abs(Lci)
-            mn = jnp.min(jnp.where(nz, al, jnp.float32(np.inf)))
-            sm = jnp.sum(al * nzf)
-            vec = jnp.where(lane8 == plane, mn, vec)
-            vec = jnp.where(lane8 == n_planes + plane, sm, vec)
+            def plane_body(j, carry):
+                # fori_loop (not unrolled) so Mosaic reuses one plane's
+                # temporaries across all nine planes of the octave
+                Lp, Lc, mP, mC, Glast, best_v, best_sig, vec = carry
+                plane = o * planes_per_octave + j - 1
+                Gnew = blur(j + 2)
+                Ln = Glast - Gnew
+                mN = max3(Ln)
+                Lpi = Lp[1:-1]
+                Lci = Lc[1:-1]
+                Lni = Ln[1:-1]
 
-            will = (nz
-                    & (Lci > best_v)
-                    & (Lci == mC)
-                    & ((Lpi == mP) | (Lni == mN))
-                    & (Lci > mP)
-                    & (Lci > mN))
-            best_v = jnp.where(will, Lci, best_v)
-            best_sig = jnp.where(will, plane, best_sig)
-            return Lc, Ln, mC, mN, Gnew, best_v, best_sig, vec
+                # per-tile exponential-fit partials on |Lc| over support
+                al = jnp.abs(Lci)
+                mn = jnp.min(jnp.where(nz, al, jnp.float32(np.inf)))
+                sm = jnp.sum(al * nzf)
+                vec = jnp.where(lane8 == plane, mn, vec)
+                vec = jnp.where(lane8 == n_planes + plane, sm, vec)
 
-        carry = lax.fori_loop(
-            1, planes_per_octave + 1, plane_body,
-            (Lp, Lc, mP, mC, G2, best_v, best_sig, vec))
-        best_v, best_sig, vec = carry[5:]
+                will = (nz
+                        & (Lci > best_v)
+                        & (Lci == mC)
+                        & ((Lpi == mP) | (Lni == mN))
+                        & (Lci > mP)
+                        & (Lci > mN))
+                best_v = jnp.where(will, Lci, best_v)
+                best_sig = jnp.where(will, plane, best_sig)
+                return Lc, Ln, mC, mN, Gnew, best_v, best_sig, vec
 
-    bv_ref[0] = best_v
-    bs_ref[0] = best_sig
-    part_ref[0, 0] = vec
+            carry = lax.fori_loop(
+                1, planes_per_octave + 1, plane_body,
+                (Lp, Lc, mP, mC, G2, best_v, best_sig, vec))
+            best_v, best_sig, vec = carry[5:]
+
+        bv_ref[0] = best_v
+        bs_ref[0] = best_sig
+        part_ref[0, 0] = vec
 
 
 def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
                              n_octaves, planes_per_octave, DB,
-                             interpret=False):
+                             valid=None, interpret=False):
     """Band best-state from the sentinel-filled blocks, via the fused kernel.
 
     cs: [B, N, N] f32 sentinel-filled maps (post-_preamble); nzf: [B, N, N]
     f32 dense support mask; kr/tt: static weight matrices from
-    ``build_fused_mats``. Returns ``(band_v, band_sig, locs, sums)``:
+    ``build_fused_mats``. ``valid``: optional [B] int mask — 0 marks a
+    pad batch slot whose blurs/NMS are skipped in-kernel (empty state out);
+    None means all valid. Returns ``(band_v, band_sig, locs, sums)``:
     band arrays [B, N, DB] in the exact band layout
     band[b, i, d] = dense[b, i, i+d]; locs/sums [B, n_planes] are the
     per-plane exponential-fit partials — ``locs`` the support min and
@@ -266,6 +284,10 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
     and subtracts loc to form the scale).
     """
     B, N, _ = cs.shape
+    if valid is None:
+        valid = jnp.ones((B,), jnp.int32)
+    else:
+        valid = jnp.asarray(valid).astype(jnp.int32)
     W = DB + 128
     WCOLS = W + 2 * CPAD
     n_planes = n_octaves * planes_per_octave
@@ -296,6 +318,7 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tt.shape, lambda b, i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # valid[B]
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -325,7 +348,7 @@ def fused_ladder_nms_batched(cs, nzf, kr, tt, *, R, TOPPAD, WINROWS,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(kr), jnp.asarray(tt), cpad, nzp)
+    )(jnp.asarray(kr), jnp.asarray(tt), valid, cpad, nzp)
 
     parts = parts[:, :, 0, :]
     locs = jnp.min(parts[:, :, :n_planes], axis=1)             # [B, P]

@@ -142,9 +142,11 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
         # band outputs, sort workspace). Large batches matter here: the
         # BH sort is latency-bound, its cost nearly flat in the batch
         # dimension (B=1 and B=4 sorts of 8.2M keys both ~150ms), so every
-        # extra block in the batch sorts almost for free
+        # extra block in the batch sorts almost for free — and pad slots
+        # skip their blur compute in-kernel (valid mask), so a large B
+        # costs trailing launches almost nothing
         per_block = 36 * n * n
-        cap = max(1, min(8, int(6e9 // per_block)))
+        cap = max(1, min(16, int(6e9 // per_block)))
     else:
         # ~45 NxN fp32 live buffers per block through the ladder; stay
         # under ~4GB
@@ -304,8 +306,11 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
                     else jax.device_put(band))
 
     def pack_starts(idxs, cap):
+        # pad slots carry start -1: the detector's fused kernel skips
+        # their compute entirely (the slice clamps to row 0; outputs for
+        # pad slots are empty state, discarded on the host)
         starts = np.asarray(
-            [start[i] for i in idxs] + [0] * (cap - len(idxs)), np.int32)
+            [start[i] for i in idxs] + [-1] * (cap - len(idxs)), np.int32)
         return runner.place_starts(starts) if runner is not None else starts
 
     def launch(idxs):

@@ -84,11 +84,12 @@ class RowShardPlan:
         """Yield ``(idxs, starts_local)`` per launch: ``idxs`` is the
         global block index per batch slot (None = pad, discarded on host),
         chip-major; ``starts_local`` is the [nd, Bl] slab-relative start
-        matrix (pad slots read local row 0 and are dropped)."""
+        matrix (pad slots carry -1: the fused kernel skips their compute,
+        the slice clamps to local row 0, and the host drops them)."""
         n_launches = -(-self.per_chip // Bl) if self.per_chip else 0
         for k in range(n_launches):
             idxs: list = []
-            sl = np.zeros((self.nd, Bl), np.int32)
+            sl = np.full((self.nd, Bl), -1, np.int32)
             for i in range(self.nd):
                 for j in range(Bl):
                     g = self.c0[i] + k * Bl + j

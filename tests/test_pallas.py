@@ -168,3 +168,102 @@ def test_resolve_pallas_radius_gate():
     cfg = DetectionConfig(resolution=5000, distance_bp=64 * 5000,
                           precision="float32", use_pallas="on")
     assert _resolve_pallas(cfg) is True
+
+
+def test_diff_pallas_matches_xla_path():
+    """Differential detector, fused-kernel path vs the XLA scan path:
+    per-map candidates, q values, differential p, and the exported best
+    responses must agree (interpret mode on CPU)."""
+    from mustache_tpu.diff import _build_diff_detector_cached
+
+    n, d_px = 256, 64
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=256)
+    c1 = make_block(n, d_px, seed=95)
+    c2 = make_block(n, d_px, seed=96)
+    st = np.float32(cfg.st)
+    lp = np.float32(np.log(cfg.pt))
+
+    ref_parts = _build_diff_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        cfg.max_candidates, False, False)
+    got_parts = _build_diff_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        cfg.max_candidates, True, True)
+    ref = jax.tree.map(np.asarray, ref_parts[2](c1, c2, st, lp))
+    got = jax.tree.map(np.asarray, got_parts[2](c1, c2, st, lp))
+
+    for tag in ("1", "2"):
+        assert int(got[f"n_tested{tag}"]) == int(ref[f"n_tested{tag}"])
+        assert int(got[f"sig_count{tag}"]) == int(ref[f"sig_count{tag}"])
+        rset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+            ref[f"cand_x{tag}"], ref[f"cand_y{tag}"],
+            ref[f"cand_sigidx{tag}"], ref[f"cand_valid{tag}"]) if ok}
+        gset = {(int(x), int(y), int(s)) for x, y, s, ok in zip(
+            got[f"cand_x{tag}"], got[f"cand_y{tag}"],
+            got[f"cand_sigidx{tag}"], got[f"cand_valid{tag}"]) if ok}
+        assert rset == gset and len(rset) > 0, f"map {tag}"
+
+        rmap = {}
+        for i, ok in enumerate(ref[f"cand_valid{tag}"]):
+            if ok:
+                key = (int(ref[f"cand_x{tag}"][i]),
+                       int(ref[f"cand_y{tag}"][i]))
+                rmap[key] = (float(ref[f"cand_logq{tag}"][i]),
+                             ref[f"neigh_pair{tag}"][i],
+                             ref[f"neigh_v1{tag}"][i],
+                             ref[f"neigh_v2{tag}"][i],
+                             bool(ref[f"cand_pass{tag}"][i]))
+        for i, ok in enumerate(got[f"cand_valid{tag}"]):
+            if not ok:
+                continue
+            key = (int(got[f"cand_x{tag}"][i]), int(got[f"cand_y{tag}"][i]))
+            rq, rpair, rv1, rv2, rpass = rmap[key]
+            np.testing.assert_allclose(float(got[f"cand_logq{tag}"][i]), rq,
+                                       rtol=2e-4, atol=1e-4)
+            np.testing.assert_allclose(got[f"neigh_pair{tag}"][i], rpair,
+                                       rtol=2e-3, atol=1e-5)
+            np.testing.assert_allclose(got[f"neigh_v1{tag}"][i], rv1,
+                                       rtol=2e-4, atol=1e-5)
+            np.testing.assert_allclose(got[f"neigh_v2{tag}"][i], rv2,
+                                       rtol=2e-4, atol=1e-5)
+            assert bool(got[f"cand_pass{tag}"][i]) == rpass
+
+
+def test_pallas_pad_slots_skipped():
+    """Batch slots with start -1 (pow2 padding) must be skipped in-kernel
+    and produce empty state; valid slots must be bit-identical to an
+    unpadded launch (interpret mode on CPU)."""
+    n, d_px = 256, 64
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=256)
+    from mustache_tpu.bandnorm import bucket_rows
+    from mustache_tpu.detect import band_width
+
+    # a small chromosome band with 2 real blocks
+    n_bins = 320
+    x, y, v, _ = synthetic_hic(n_bins, d_px, seed=97, n_loops=8)
+    from mustache_tpu.normalize import normalize_sparse
+    normalize_sparse(x, y, v, 5000, d_px, work_dtype=np.float32)
+    rows = bucket_rows(max(n_bins, n))
+    band = np.zeros((rows, band_width(n, d_px)), np.float32)
+    sel = (y - x) < band.shape[1]
+    band[x[sel], (y - x)[sel]] = v[sel]
+
+    parts = _build_detector_cached(
+        cfg.octave_values, cfg.precision, cfg.distance_px, n,
+        cfg.max_candidates, True, True)
+    st = np.float32(cfg.st)
+    lp = np.float32(np.log(cfg.pt))
+
+    starts_real = np.asarray([0, 64], np.int32)
+    starts_pad = np.asarray([0, 64, -1, -1], np.int32)
+    ref = jax.tree.map(np.asarray, parts.fn_band(band, starts_real, st, lp))
+    got = jax.tree.map(np.asarray, parts.fn_band(band, starts_pad, st, lp))
+
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], got[k][:2], err_msg=k)
+    # pad slots: no detections at all
+    for b in (2, 3):
+        assert int(got["n_tested"][b]) == 0
+        assert not got["cand_valid"][b].any()

@@ -91,3 +91,24 @@ def test_diff_smoke_on_tpu(tpu_backend):
     rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg)
     tags = {t for *_, t in rows}
     assert 1 in tags and 3 in tags
+
+
+def test_diff_pallas_matches_xla_on_tpu(tpu_backend):
+    """Compiled diff fused-kernel path == XLA scan path, full pipeline."""
+    from mustache_tpu.config import DetectionConfig
+    from mustache_tpu.diff import detect_diff_loops_coo
+    from synthetic import synthetic_hic
+
+    x1, y1, v1, _ = synthetic_hic(1200, 150, seed=94, n_loops=20)
+    x2, y2, v2, _ = synthetic_hic(1200, 150, seed=95, n_loops=20)
+    cfg_x = DetectionConfig(resolution=5000, distance_bp=150 * 5000,
+                            pt=0.2, st=0.8, precision="float32",
+                            use_pallas="off")
+    ref = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), cfg_x)
+    got = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(),
+                                cfg_x.with_(use_pallas="on"))
+    assert [(a, b, s, t) for a, b, _, s, t in ref] == \
+           [(a, b, s, t) for a, b, _, s, t in got]
+    np.testing.assert_allclose([q for _, _, q, _, _ in ref],
+                               [q for _, _, q, _, _ in got],
+                               rtol=2e-3, atol=1e-6)

@@ -74,7 +74,9 @@ for rep in range(REPS):
 
     cap = B
     def pack_starts(idxs):
-        return np.asarray([start[i] for i in idxs] + [0] * (cap - len(idxs)),
+        # pad slots carry -1 like the pipeline: the fused kernel skips
+        # their compute (pipeline.pack_starts)
+        return np.asarray([start[i] for i in idxs] + [-1] * (cap - len(idxs)),
                           np.int32)
 
     launches = []

@@ -50,7 +50,7 @@ for B in (1, 2, 4, 8):
         for b0 in range(0, nblocks, B):
             idxs = list(range(b0, min(b0 + B, nblocks)))
             starts = np.asarray(
-                [start[i] for i in idxs] + [0] * (B - len(idxs)), np.int32)
+                [start[i] for i in idxs] + [-1] * (B - len(idxs)), np.int32)
             outs.append(detector.fn_band_packed(band_dev, starts))
         # force a real sync: pull one scalar from every launch's outputs
         return [float(np.asarray(o[0][0, 0])) + float(np.asarray(o[1][0, 0]))

@@ -1,6 +1,11 @@
 """``diff_mustache``-compatible CLI: differential loops between two
 conditions. Mirrors diff_mustache.py:29-180 (parser) and :720-906 (driver):
 four output files ``.loop1 .diffloop1 .loop2 .diffloop2``.
+
+Engine extras match the single-map CLI: ``--engine-resume`` checkpoints
+per chromosome (four per-file manifests, a unit counts as done only when
+all four parts exist), and ``--engine-coordinator/-nprocs/-procid`` runs
+a chromosome shard per process with process-0 assembly.
 """
 
 from __future__ import annotations
@@ -9,7 +14,9 @@ import os
 import sys
 import time
 
-from mustache_tpu.cli import build_parser, load_contacts, _chromosome_lists
+from mustache_tpu.cli import (
+    build_parser, load_contacts, resolve_distributed, _chromosome_lists,
+)
 from mustache_tpu.config import DetectionConfig, clamp_distance_filter, parse_bp
 from mustache_tpu.diff import detect_diff_loops_coo
 from mustache_tpu.io.chrom import normalize_chrom
@@ -99,9 +106,57 @@ def main(argv=None):
                     raise
                 time.sleep(0.1 * (2 ** attempt))
 
+    # validate BEFORE the jax.distributed rendezvous (a host erroring out
+    # after the collective group forms strands its peers at the barrier)
+    if any(str(c) != str(c2) for c, c2 in zip(chr_list, chr_list2)):
+        print("Interchromosomal analysis is not supported.")
+        return 1
+
+    coordinator, nprocs, procid = resolve_distributed(args)
+    if nprocs > 1:
+        from mustache_tpu.sharding import initialize_distributed
+        initialize_distributed(coordinator, nprocs, procid)
+
+    manifests = None
+    done = set()
+    if args.resume or nprocs > 1:
+        # four per-file manifests sharing one fingerprint; a unit counts
+        # as completed only when ALL four parts carry a matching marker
+        # (a crash between files leaves the unit incomplete -> rerun)
+        from mustache_tpu.manifest import RunManifest, config_fingerprint
+        base_cfg = DetectionConfig(
+            resolution=res, distance_bp=dist_bp, pt=args.pt, pt2=args.pt2,
+            st=args.st, sigma0=args.s_z, octaves=args.octaves,
+            precision=args.precision)
+        fp = config_fingerprint(base_cfg, {
+            "f1": os.path.abspath(f1), "f2": os.path.abspath(f2),
+            "norm": str(args.norm_method),
+            "bias1": os.path.abspath(biasf1) if biasf1 else "",
+            "bias2": os.path.abspath(biasf2) if biasf2 else "",
+            "bed1": os.path.abspath(args.bed1) if args.bed1 else "",
+            "bed2": os.path.abspath(args.bed2) if args.bed2 else "",
+        })
+        manifests = {t: RunManifest(args.outdir + sfx, fp)
+                     for t, sfx in SUFFIXES.items()}
+        done = set.intersection(
+            *[m.completed_chromosomes() for m in manifests.values()])
+
     # cross-chromosome software pipelining (see cli.main): chromosome
     # k+1's two-file decode overlaps chromosome k's device compute
     pairs = list(zip(chr_list, chr_list2))
+    unit_order = [str(c) for c, _ in pairs]
+    if nprocs > 1:
+        from mustache_tpu.sharding import shard_chromosomes
+        my_idx = shard_chromosomes(list(range(len(pairs))), procid, nprocs)
+        pairs = [pairs[i] for i in my_idx]
+    if manifests is not None:
+        if args.resume and done:
+            pairs = [p for p in pairs if str(p[0]) not in done]
+        elif not args.resume:
+            # fresh run: stale parts must not survive into assembly
+            for m in manifests.values():
+                m.invalidate([str(c) for c, _ in pairs])
+
     prefetch = None
     if not getattr(args, "no_prefetch", False) and len(pairs) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -148,43 +203,62 @@ def main(argv=None):
         rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg) \
             if len(v1) and len(v2) else []
 
-        if not wrote_header:
-            wrote_header = True
-            for sfx in SUFFIXES.values():
-                with open(args.outdir + sfx, "w") as out:
-                    out.write(HEADER)
+        counters = {1: 0, 2: 0, 3: 0, 4: 0}
+        row_strs = {t: [] for t in SUFFIXES}
+        for b1, b2, q, scale, tag in rows:
+            counters[tag] += 1
+            row_strs[tag].append(
+                f"{chromosome}\t{b1*res_eff}\t{(b1+1)*res_eff}\t"
+                f"{chromosome2}\t{b2*res_eff}\t{(b2+1)*res_eff}\t"
+                f"{q}\t{scale}\n")
+        elapsed = time.time() - start_time
+
+        if manifests is not None:
+            for t, m in manifests.items():
+                m.mark_complete(str(chromosome), counters[t], elapsed,
+                                "".join(row_strs[t]))
+        else:
+            if not wrote_header:
+                wrote_header = True
+                for sfx in SUFFIXES.values():
+                    with open(args.outdir + sfx, "w") as out:
+                        out.write(HEADER)
+            for t, sfx in SUFFIXES.items():
+                if row_strs[t]:
+                    with open(args.outdir + sfx, "a") as out:
+                        out.write("".join(row_strs[t]))
 
         if not rows:
             # reference prints the plain count line and skips the counters
             # line for empty chromosomes (diff_mustache.py:865-869)
             print("0 loops found for chrmosome={0}, fdr<{1} in {2}sec".format(
-                chromosome, args.pt, "%.2f" % (time.time() - start_time)))
-            start_time = time.time()
-            continue
-
-        counters = {1: 0, 2: 0, 3: 0, 4: 0}
-        handles = {t: open(args.outdir + sfx, "a")
-                   for t, sfx in SUFFIXES.items()}
-        try:
-            for b1, b2, q, scale, tag in rows:
-                counters[tag] += 1
-                handles[tag].write(
-                    f"{chromosome}\t{b1*res_eff}\t{(b1+1)*res_eff}\t"
-                    f"{chromosome2}\t{b2*res_eff}\t{(b2+1)*res_eff}\t"
-                    f"{q}\t{scale}\n")
-        finally:
-            for h in handles.values():
-                h.close()
-        print(f"({counters[1]},{counters[3]}) loops and "
-              f"({counters[2]},{counters[4]}) differential-loops found in "
-              f"chrmosome={chromosome} for detection-fdr<{args.pt} and "
-              f"difference-fdr<{args.pt2} in {time.time()-start_time:.2f}sec")
+                chromosome, args.pt, "%.2f" % elapsed))
+        else:
+            print(f"({counters[1]},{counters[3]}) loops and "
+                  f"({counters[2]},{counters[4]}) differential-loops found "
+                  f"in chrmosome={chromosome} for detection-fdr<{args.pt} "
+                  f"and difference-fdr<{args.pt2} in {elapsed:.2f}sec")
         start_time = time.time()
     if prefetch is not None:
         prefetch.shutdown(wait=False)
+    if nprocs > 1:
+        # all parts on disk before process 0 concatenates the four files
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mustache-tpu-diff-parts")
+        if procid == 0:
+            for m in manifests.values():
+                m.assemble(unit_order, HEADER)
+    elif manifests is not None:
+        for m in manifests.values():
+            m.assemble(unit_order, HEADER)
+        if not failed_units:
+            for m in manifests.values():
+                m.cleanup(unit_order)
     if failed_units:
-        print("Error: {0} chromosome(s) failed after retries: {1}".format(
-            len(failed_units), ", ".join(failed_units)))
+        print("Error: {0} chromosome(s) failed after retries: {1}{2}".format(
+            len(failed_units), ", ".join(failed_units),
+            " (rerun with --engine-resume to retry exactly these)"
+            if manifests is not None else ""))
         return 1
     return 0
 

@@ -91,3 +91,25 @@ def test_diff_cli_resolution_mismatch_raises(cond_files, tmp_path):
                10000, {"20": (x, y, v), "21": (x, y, v)})
     with pytest.raises(ValueError, match="same resolution"):
         _run([cond_files[0], cool10kb], str(tmp_path / "mx"))
+
+
+def test_diff_cli_resume_retries_failed_units(cond_files, tmp_path):
+    """--engine-resume: a failed chromosome is retried by the rerun and
+    only it (completed units are skipped); the final four files equal a
+    clean run's."""
+    clean = str(tmp_path / "clean")
+    assert _run(cond_files, clean) == 0
+
+    out = str(tmp_path / "r")
+    faults.arm("ingest", count=100, match="21")
+    assert _run(cond_files, out, ["--engine-resume",
+                                  "--engine-ingest-retries", "0"]) == 1
+    # chr20 completed; chr21 missing from every file
+    for sfx in SUFFIXES:
+        chroms = {l.split("\t")[0]
+                  for l in open(out + sfx).read().splitlines()[1:]}
+        assert "21" not in chroms
+    faults.reset()
+    assert _run(cond_files, out, ["--engine-resume"]) == 0
+    for sfx in SUFFIXES:
+        assert open(out + sfx).read() == open(clean + sfx).read(), sfx

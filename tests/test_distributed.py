@@ -195,3 +195,68 @@ def test_two_process_cli_unit_failure_no_hang(tmp_path):
     assert sorted(rcs) == [0, 1], outs
     chroms = {l.split("\t")[0] for l in out.read_text().splitlines()[1:]}
     assert chroms == {"c0", "c2"}
+
+
+@pytest.mark.skipif(os.environ.get("MTPU_SKIP_DISTRIBUTED") == "1",
+                    reason="distributed smoke test disabled")
+def test_two_process_diff_cli(tmp_path):
+    """The differential CLI runs distributed: chromosome shard per
+    process, process 0 assembles all four output files; result equals a
+    single-process run."""
+    from synthetic import synthetic_hic
+
+    res = 5000
+    paths = []
+    for cond, base_seed in (("c1", 330), ("c2", 340)):
+        path = tmp_path / f"{cond}.txt"
+        with open(path, "w") as fh:
+            for ci, ch in enumerate(["c0", "c1", "c2"]):
+                x, y, v, _ = synthetic_hic(800, 100, seed=base_seed + ci,
+                                           n_loops=12)
+                for a, b, c in zip(x, y, v):
+                    fh.write(f"{ch}\t{a*res}\t{ch}\t{b*res}\t{c}\n")
+        paths.append(str(path))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    here = os.path.dirname(__file__)
+    repo = os.path.dirname(here)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo, here, env.get("PYTHONPATH", "")])
+
+    base = [sys.executable, "-c",
+            "import sys; from mustache_tpu.diff_cli import main; "
+            "sys.exit(main(sys.argv[1:]))",
+            "-f1", paths[0], "-f2", paths[1],
+            "-ch", "c0", "c1", "c2", "-r", "5kb", "-pt", "0.2", "-st", "0.6",
+            "-pt2", "0.2", "-d", str(100 * res), "--engine-platform", "cpu"]
+
+    single = str(tmp_path / "single")
+    p = subprocess.run(base + ["-o", single], env=env, cwd=here,
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       timeout=600)
+    assert p.returncode == 0, p.stdout.decode()[-2000:]
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    multi = str(tmp_path / "multi")
+    procs = [
+        subprocess.Popen(
+            base + ["-o", multi, "--engine-coordinator", coord,
+                    "--engine-nprocs", "2", "--engine-procid", str(pid)],
+            env=env, cwd=here, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    total = 0
+    for sfx in (".loop1", ".diffloop1", ".loop2", ".diffloop2"):
+        assert open(multi + sfx).read() == open(single + sfx).read(), sfx
+        total += len(open(multi + sfx).read().splitlines()) - 1
+    assert total > 3

@@ -191,7 +191,7 @@ def _norm_key(rows: int, Dl: int, n: int, resolution: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _build_norm_fn(key: tuple, donate: bool = True, exc_bucket: int = 0):
+def _build_norm_fn(key: tuple, donate: bool = True):
     import jax
 
     import jax.numpy as jnp
@@ -208,25 +208,15 @@ def _build_norm_fn(key: tuple, donate: bool = True, exc_bucket: int = 0):
     else:
         inner = functools.partial(_normalize_band_global, dpx=key[3])
 
-    def widen(band):
+    def fn(band):
         # compact-transfer path: mostly-integer counts upload as uint8 /
         # uint16 (4x / 2x fewer H2D bytes than f32) and widen here —
-        # lossless for integer values below the dtype limit
+        # lossless for integer values below the dtype limit. Exception
+        # scatters happen in their own tiny graph (_build_exc_fn) so this
+        # graph's shape set stays warmup-enumerable.
         if band.dtype in (jnp.uint8, jnp.uint16):
             band = band.astype(jnp.float32)
-        return band
-
-    if exc_bucket:
-        def fn(band, exc_r, exc_c, exc_v):
-            band = widen(band)
-            # misfit values (non-integer / over-limit) scatter over the
-            # widened band; pad slots carry row index `rows` and are
-            # dropped (lossless relative to the f32 band transfer)
-            band = band.at[exc_r, exc_c].set(exc_v, mode="drop")
-            return inner(band)
-    else:
-        def fn(band):
-            return inner(widen(band))
+        return inner(band)
 
     # donate: the raw band is dead after this call (2GB at 1kb genome scale).
     # f32-path only — a donated narrow-integer buffer can't back the f32
@@ -251,6 +241,26 @@ def pad_exceptions(exc, rows: int):
     return pr, pc, pv
 
 
+@functools.lru_cache(maxsize=32)
+def _build_exc_fn(rows: int, Dl: int, dtype_name: str, bucket: int):
+    """Tiny widen+scatter graph, SEPARATE from the normalize graph: the
+    exception-list bucket is data-dependent (pow2 of the misfit count),
+    and fusing it into the normalize graph made every new bucket a full
+    normalize recompile — one the warmup pass cannot enumerate. Split
+    out, the normalize graph has ONE warmable shape per band geometry and
+    the per-bucket cost is this trivial scatter (sub-second compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(band, exc_r, exc_c, exc_v):
+        if band.dtype in (jnp.uint8, jnp.uint16):
+            band = band.astype(jnp.float32)
+        # pad slots carry row index `rows` and are dropped
+        return band.at[exc_r, exc_c].set(exc_v, mode="drop")
+
+    return jax.jit(fn)
+
+
 def normalize_band_device(band_raw, n: int, resolution: int,
                           distance_in_px: int, exceptions=None):
     """Normalize a raw chromosome band on device.
@@ -265,14 +275,14 @@ def normalize_band_device(band_raw, n: int, resolution: int,
     import jax
 
     rows, Dl = band_raw.shape
-    donate = np.dtype(band_raw.dtype) not in (np.uint8, np.uint16)
-    bucket = 0 if exceptions is None else int(exceptions[0].shape[0])
-    fn = _build_norm_fn(_norm_key(rows, Dl, n, resolution, distance_in_px),
-                        donate, bucket)
     if not isinstance(band_raw, jax.Array):
         band_raw = jax.device_put(band_raw)
-    if exceptions is None:
-        return fn(band_raw)
-    exc = tuple(e if isinstance(e, jax.Array) else jax.device_put(e)
-                for e in exceptions)
-    return fn(band_raw, *exc)
+    if exceptions is not None:
+        exc = tuple(e if isinstance(e, jax.Array) else jax.device_put(e)
+                    for e in exceptions)
+        band_raw = _build_exc_fn(rows, Dl, str(band_raw.dtype),
+                                 int(exc[0].shape[0]))(band_raw, *exc)
+    donate = np.dtype(band_raw.dtype) not in (np.uint8, np.uint16)
+    fn = _build_norm_fn(_norm_key(rows, Dl, n, resolution, distance_in_px),
+                        donate)
+    return fn(band_raw)

@@ -22,8 +22,10 @@ Usage::
 
 Run it once per (resolution, distance, octaves) configuration — at
 install time, in the background, or before the first production run.
-Not warmed (data-dependent, compiled on demand if hit): exception-list
-normalize variants and candidate-overflow regrow capacities.
+Every HEAVY graph is covered: the exception-list scatter lives in its
+own trivial per-bucket graph (bandnorm._build_exc_fn, sub-second
+compiles), so the only on-demand compiles left are that scatter and
+candidate-overflow regrow capacities.
 """
 
 from __future__ import annotations
@@ -98,7 +100,7 @@ def warm(cfg, n_bins_list, *, diff: bool = False, log=None):
             for dt, donate in ((jnp.float32, True), (jnp.uint16, False),
                                (jnp.uint8, False)):
                 t0 = time.time()
-                fn = _build_norm_fn(key, donate, 0)
+                fn = _build_norm_fn(key, donate)
                 fn.lower(jax.ShapeDtypeStruct((rows, Dl), dt)).compile()
                 jobs += 1
                 log(f"normalize rows={rows} Dl={Dl} {dt.__name__}: "

@@ -179,17 +179,42 @@ def _bh_sorted_logq(logp_flat, n_tested):
     return sp, _logq_from_sorted(sp, n_tested)
 
 
+def _suffix_cummin(a):
+    """Reverse cummin over a flat vector, two-level (exact: min is
+    associative). Splitting into 128-wide segments turns 16 of the 23
+    log-doubling passes into passes over the 64x-smaller segment-min
+    vector; measured ~neutral on the tunneled chip (per-pass overhead
+    dominates there) but strictly less HBM traffic."""
+    n = a.shape[0]
+    SEG = 128
+    if n % SEG or n <= 4 * SEG:
+        return lax.cummin(a, axis=0, reverse=True)
+    a2 = a.reshape(n // SEG, SEG)
+    tail = lax.cummin(a2, axis=1, reverse=True)   # within-segment suffix
+    carry = lax.cummin(tail[:, 0], axis=0, reverse=True)
+    pinf = jnp.full((1,), np.inf, a.dtype)
+    carry = jnp.concatenate([carry[1:], pinf])    # min over LATER segments
+    return jnp.minimum(tail, carry[:, None]).reshape(n)
+
+
 def _logq_from_sorted(sp, n_tested):
     dtype = sp.dtype
     ranks = (lax.iota(jnp.int32, sp.shape[0]) + 1).astype(dtype)
     q = sp + jnp.log(n_tested.astype(dtype)) - jnp.log(ranks)
-    q = lax.cummin(q, axis=0, reverse=True)
+    q = _suffix_cummin(q)
     return jnp.minimum(q, 0.0)
 
 
 def _bh_lookup(sp, qs, vals):
-    """q-value lookup by log-p value (exact under ties, see above)."""
-    pos = jnp.clip(jnp.searchsorted(sp, vals), 0, sp.shape[0] - 1)
+    """q-value lookup by log-p value (exact under ties, see above).
+
+    Measured alternatives at the 1kb shape (docs/PERF.md): the
+    one-scatter position map (zeros.at[sidx].set(qs) + take) costs
+    ~+420 ms — TPU scatter of 8.4M elements is pathological; unrolling
+    the binary search (scan_unrolled, kept) is ~neutral vs the while
+    form. The search is not the epilogue's bottleneck."""
+    pos = jnp.clip(jnp.searchsorted(sp, vals, method="scan_unrolled"),
+                   0, sp.shape[0] - 1)
     return qs[pos]
 
 
@@ -244,19 +269,37 @@ def unpack_block(spec, frow, irow):
     return out
 
 
-def _box_counts(ii, x, y, s, N):
+def _box_counts_band(cs_flat, x, y, s, smax: int, N: int, Dl: int):
     """Window sums of ``nz`` over [x-s, x+s+1) x [y-s, y+s+1) with numpy
-    slice semantics: a negative start makes the slice empty (count 0),
-    overruns clamp (mustache.py:800-810)."""
-    x0, x1 = x - s, x + s + 1
-    y0, y1 = y - s, y + s + 1
-    empty = (x0 < 0) | (y0 < 0)
-    x0c = jnp.clip(x0, 0, N)
-    x1c = jnp.clip(x1, 0, N)
-    y0c = jnp.clip(y0, 0, N)
-    y1c = jnp.clip(y1, 0, N)
-    cnt = ii[x1c, y1c] - ii[x0c, y1c] - ii[x1c, y0c] + ii[x0c, y0c]
-    return jnp.where(empty, 0, cnt)
+    slice semantics — negative start => empty (count 0), overruns clamp
+    (mustache.py:800-810) — evaluated on the BAND.
+
+    The dense 2-D integral image this replaces cost two cumsums over the
+    [B, N, N] dense mask (~0.5 GB of i32 at the 1kb shape — measured
+    ~neutral wall-clock on the tunneled chip, but ~1 GB/launch less HBM
+    traffic); the band needs only a per-column prefix
+    ``cs[i, d] = #{i' < i : nz[i', i'+d]}`` (cumsum over [N, Dl]). A
+    dense axis-aligned box decomposes by diagonal: column d contributes
+    rows ``[max(x-s, y-s-d), min(x+s, y+s-d)]`` — at most ``4*smax+1``
+    columns, gathered for all candidates in two flat takes. Band cells
+    with i+d >= N are False in the mask, so row clamps at N are safe."""
+    L = 4 * smax + 1
+    rel = jnp.arange(-2 * smax, 2 * smax + 1, dtype=jnp.int32)[None, :]
+    x_ = x[:, None]
+    y_ = y[:, None]
+    s_ = s[:, None]
+    d = (y_ - x_) + rel                                   # [K, L]
+    lo = jnp.maximum(x_ - s_, y_ - s_ - d)
+    hi1 = jnp.minimum(x_ + s_, y_ + s_ - d) + 1           # exclusive
+    lo_c = jnp.clip(lo, 0, N)
+    hi_c = jnp.clip(hi1, 0, N)
+    dc = jnp.clip(d, 0, Dl - 1)
+    valid = (d >= 0) & (d < Dl) & (hi_c > lo_c) & (jnp.abs(rel) <= 2 * s_)
+    cnt = (jnp.take(cs_flat, hi_c * Dl + dc)
+           - jnp.take(cs_flat, lo_c * Dl + dc))
+    total = jnp.sum(jnp.where(valid, cnt, 0), axis=1)
+    empty = ((x - s) < 0) | ((y - s) < 0)
+    return jnp.where(empty, 0, total)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -389,7 +432,7 @@ class _BandGeom:
 
 
 def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
-                     band_c, nz_dense, ceil_table, st, log_pt, K,
+                     band_c, ceil_table, ceil_max: int, st, log_pt, K,
                      extras=()):
     """Fixed-capacity candidate table from band-space detection state:
     BH FDR, selection, sparsity/enrichment filters, and the exported 3x3
@@ -430,17 +473,18 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
     band_sigidx = jnp.where(band_nz, band_sigidx, -1)
     cand_sigidx = band_sigidx.reshape(-1)[flat_idx]
 
-    # sparsity filter via integral image of dense nz (windows are dense
-    # axis-aligned boxes)
-    ii = jnp.pad(
-        jnp.cumsum(jnp.cumsum(nz_dense.astype(jnp.int32), 0), 1),
-        ((1, 0), (1, 0))
-    )
+    # sparsity filter via per-column prefix sums of the band support
+    # (see _box_counts_band — replaces the dense 2-D integral image)
+    cs_flat = jnp.pad(
+        jnp.cumsum(band_nz.astype(jnp.int32), axis=0),
+        ((1, 0), (0, 0))).reshape(-1)
     s1 = jnp.where(cand_sigidx >= 0,
                    jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
-    c1 = _box_counts(ii, cx, cy, s1, N).astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype)
+    c1 = (_box_counts_band(cs_flat, cx, cy, s1, ceil_max, N, Dl)
+          .astype(dtype) / ((2 * s1 + 1) ** 2).astype(dtype))
     s2 = 2 * s1
-    c2 = _box_counts(ii, cx, cy, s2, N).astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype)
+    c2 = (_box_counts_band(cs_flat, cx, cy, s2, 2 * ceil_max, N, Dl)
+          .astype(dtype) / ((2 * s2 + 1) ** 2).astype(dtype))
     pass_sparse = (cx != 0) & ~((c1 < st) | (c2 < 0.6))
 
     # enrichment filter: candidate > 2 * nonzero-mean of its diagonal,
@@ -457,7 +501,7 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
 
     # 8-neighborhood q/scale export for host-side clustering. Dense
     # neighbor (x+dx, y+dy) sits at band (x+dx, d+dy-dx); tested neighbors
-    # get their BH q by sorted lookup, untested support cells the q=2
+    # get their BH q, untested support cells the q=2
     # marker, in-matrix cells beyond the band q=1 (log 0), and cells
     # outside the matrix +inf (cannot win the component argmin).
     offs = np.array([-1, 0, 1], np.int32)
@@ -468,6 +512,11 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
     in_band = inside & (nd >= 0) & (nd < Dl)
     nxc = jnp.clip(nx, 0, N - 1)
     ndc = jnp.clip(nd, 0, Dl - 1)
+    # value lookup by binary search (BH q equal on tied p, so exact).
+    # Measured alternatives at the 1kb shape: this searchsorted lowers to
+    # a 23-step while (~80 ms/launch of per-kernel overhead), but the
+    # one-scatter alternative (zeros.at[sidx].set(qs) + take) costs
+    # ~490 ms — TPU scatter of 8.4M elements is far worse. Keep the sort.
     nb_q = _bh_lookup(sp, qs, keys[nxc, ndc])
     neigh_logq = jnp.where(
         in_band & found[nxc, ndc], nb_q,
@@ -606,8 +655,8 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
     out = _band_candidates(
         geom, band_logp=best_logp, band_sigidx=best_sigidx, band_nz=nzb,
-        band_c=shear(c, dtype.type(0.0)), nz_dense=nz, ceil_table=ceil_table,
-        st=st, log_pt=log_pt, K=K)
+        band_c=shear(c, dtype.type(0.0)), ceil_table=ceil_table,
+        ceil_max=int(np.max(det_ceil)), st=st, log_pt=log_pt, K=K)
     out["nz_count"] = nz_count
     return out
 

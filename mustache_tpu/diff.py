@@ -210,7 +210,6 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}
     ceil_table = nz1_count * 0 + np.asarray(det_ceil, np.int32)
     band_c = {1: geom.shear(c1, zerof), 2: geom.shear(c2, zerof)}
-    nz_dense = {1: nz1, 2: nz2}
     # best DoG responses on each map's own support, 1 elsewhere
     # (diff_mustache.py:446-449) — both exported on every candidate's
     # neighborhood so the host can evaluate the differential call
@@ -221,8 +220,9 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
         band_pair = jnp.where(nzb[m], best_pair, dtype.type(1.0))
         table = _band_candidates(
             geom, band_logp=best_logp, band_sigidx=best_sigidx,
-            band_nz=nzb[m], band_c=band_c[m], nz_dense=nz_dense[m],
-            ceil_table=ceil_table, st=st, log_pt=log_pt, K=K,
+            band_nz=nzb[m], band_c=band_c[m],
+            ceil_table=ceil_table, ceil_max=int(np.max(det_ceil)),
+            st=st, log_pt=log_pt, K=K,
             extras=(
                 ("pair", band_pair, 1.0, np.inf),
                 ("v1", band_v[1], 1.0, 1.0),

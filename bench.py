@@ -357,7 +357,7 @@ def main():
     x2, y2, v2 = _cached_workload(CHR21_BINS, D_PX, seed=2022, n_loops=300,
                                   loop_strength=3.0)
     value_diff = _measure_diff(x1, y1, v1, x2, y2, v2, cfg_diff,
-                               CHR21_MB, warm_runs=2)
+                               CHR21_MB, warm_runs=3)
     if "mb_per_s_diff" not in base:
         base["mb_per_s_diff"] = _measure_diff_baseline(
             x1, y1, v1, x2, y2, v2, cfg_diff, CHR21_MB, D_PX)
@@ -374,7 +374,7 @@ def main():
     cfg_1kb = DetectionConfig(resolution=1000, distance_bp=2_000_000,
                               pt=0.1, st=0.8, precision="float32")
     x, y, v = build_workload_1kb()
-    value_1kb = _measure("engine 1kb", x, y, v, cfg_1kb, MB_1KB, warm_runs=2)
+    value_1kb = _measure("engine 1kb", x, y, v, cfg_1kb, MB_1KB, warm_runs=3)
     if "mb_per_s_1kb" not in base:
         base["mb_per_s_1kb"] = _measure_baseline(
             "1kb", x, y, v, cfg_1kb, MB_1KB, D_PX_1KB)
@@ -414,7 +414,7 @@ def main():
     cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
                           pt=0.1, st=0.8, precision="float32")
     x, y, v = build_workload()
-    value = _measure("engine 5kb", x, y, v, cfg, CHR21_MB, warm_runs=3)
+    value = _measure("engine 5kb", x, y, v, cfg, CHR21_MB, warm_runs=5)
     if "mb_per_s" not in base:
         base["mb_per_s"] = _measure_baseline("5kb", x, y, v, cfg, CHR21_MB,
                                              D_PX)

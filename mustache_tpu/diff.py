@@ -350,6 +350,11 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
 
             nzd = nz1s & nz2s
             cds = jnp.where(nzd, cs1 - cs2, zero)
+            # batched [B, S', N, N] conv: XLA lays its output batch-minor
+            # (T(4,128): B padded to 128 lanes, ~1 GB/block of padded HLO
+            # temp), which caps the batch at 4 — but the alternatives
+            # measured WORSE: per-block convs under lax.map at B=8 ran
+            # 2x slower (sequential dispatch) than B=4 with this form
             gd = _blur_ladder(cds, kernels[sel])       # [B, 2*n_oct, N, N]
             gdb = band_of(gd, zero)
             nzdb = band_of(nzd, False)
@@ -529,8 +534,9 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
         # fused-kernel path: both maps' ladders run in-kernel with no
         # [S,N,N] stack. The cap is set by the XLA difference-map conv
         # (2 planes/octave), whose output XLA lays out batch-minor with a
-        # (B*2oct -> 128)-lane pad: ~1 GB/block of padded HLO temp at
-        # N=2000 (measured: B=8 wants 2x7.6G and OOMs 16G HBM; B=4 fits)
+        # (B -> 128)-lane pad: ~1 GB/block of padded HLO temp at N=2000
+        # (B=8 wants 2x7.6G and OOMs 16G HBM; B=4 fits and measured
+        # FASTER than a B=8 lax.map per-block-conv variant)
         per_block = 1000 * n * n // 4
         cap = max(1, min(4, int(6e9 // per_block)))
     else:

@@ -150,6 +150,17 @@ def build_parser(diff: bool = False) -> argparse.ArgumentParser:
                    choices=["", "cpu", "tpu"],
                    help="Force the JAX backend (the host environment may "
                         "pin a TPU plugin that ignores JAX_PLATFORMS).")
+    p.add_argument("--engine-mesh", dest="engine_mesh", default="auto",
+                   choices=["auto", "block", "rowshard", "off"],
+                   help="Multi-chip execution within this process: 'auto' "
+                        "builds a block-data-parallel mesh over all local "
+                        "devices when there is more than one; 'block' / "
+                        "'rowshard' force that placement (rowshard holds "
+                        "only each chip's band rows — the 1kb-scale "
+                        "memory-bound mode; single-map runs only); 'off' "
+                        "uses one device. Composes with --engine-nprocs "
+                        "(chromosomes across hosts, blocks across each "
+                        "host's chips).")
     p.add_argument("--engine-coordinator", dest="coordinator", default="",
                    help="host:port of process 0 for multi-host runs "
                         "(env MTPU_COORDINATOR).")
@@ -169,6 +180,26 @@ def resolve_distributed(args):
         int(os.environ.get("MTPU_PROCID", "0"))
     coordinator = args.coordinator or os.environ.get("MTPU_COORDINATOR", "")
     return coordinator or None, nprocs, procid
+
+
+def make_cli_runner(mode: str):
+    """Multi-chip runner for --engine-mesh: a (block, row=1) mesh over
+    this process's local devices. 'auto' engages only when more than one
+    local device exists (single-chip hosts keep the direct path); 'block'
+    and 'rowshard' force the mesh (size-1 mesh on one device — useful for
+    testing). Returns None when meshing is off."""
+    if mode == "off":
+        return None
+    import jax
+
+    devices = jax.local_devices()
+    if mode == "auto" and len(devices) <= 1:
+        return None
+    from mustache_tpu.sharding import make_mesh, make_runner
+
+    placement = "rowshard" if mode == "rowshard" else "replicate"
+    mesh = make_mesh(n_block=len(devices), n_row=1, devices=devices)
+    return make_runner(mesh, placement)
 
 
 def parse_args(argv):
@@ -300,6 +331,8 @@ def main(argv=None):
     if nprocs > 1:
         from mustache_tpu.sharding import initialize_distributed
         initialize_distributed(coordinator, nprocs, procid)
+
+    runner = make_cli_runner(args.engine_mesh)
 
     if args.profile_dir:
         import jax
@@ -485,7 +518,8 @@ def main(argv=None):
                     loops = [Loop(int(r[0]), int(r[1]), float(r[2]),
                                   float(r[3])) for r in rows_i]
                 else:
-                    loops = detect_loops_coo(x, y, v, cfg)
+                    loops = detect_loops_coo(x, y, v, cfg, runner=runner,
+                                             log=log)
         except Exception as exc:
             log.event("unit_failed", unit=unit_name, stage="detect",
                       error=str(exc))

@@ -15,7 +15,8 @@ import sys
 import time
 
 from mustache_tpu.cli import (
-    build_parser, load_contacts, resolve_distributed, _chromosome_lists,
+    build_parser, load_contacts, make_cli_runner, resolve_distributed,
+    _chromosome_lists,
 )
 from mustache_tpu.config import DetectionConfig, clamp_distance_filter, parse_bp
 from mustache_tpu.diff import detect_diff_loops_coo
@@ -117,6 +118,10 @@ def main(argv=None):
         from mustache_tpu.sharding import initialize_distributed
         initialize_distributed(coordinator, nprocs, procid)
 
+    # rowshard is single-map-only; the differential bands stay replicated
+    runner = make_cli_runner(
+        "block" if args.engine_mesh == "rowshard" else args.engine_mesh)
+
     manifests = None
     done = set()
     if args.resume or nprocs > 1:
@@ -200,7 +205,8 @@ def main(argv=None):
             st=args.st, sigma0=args.s_z, octaves=args.octaves,
             precision=args.precision, block_batch=args.block_batch,
         )
-        rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg) \
+        rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg,
+                                     runner=runner) \
             if len(v1) and len(v2) else []
 
         counters = {1: 0, 2: 0, 3: 0, 4: 0}

@@ -153,3 +153,34 @@ def test_cli_engine_warmup_without_sizes_skips(tmp_path, capsys):
                "-d", "750kb", "-pt", "0.2", "-st", "0.6", "--engine-warmup"])
     assert rc == 0
     assert len(open(out).read().splitlines()) > 2
+
+
+def test_cli_engine_mesh_matches(tmp_path):
+    """--engine-mesh block/rowshard (all 8 virtual devices) must produce
+    the same loop calls as the single-device path (q to f32 normalize
+    rounding for rowshard, which normalizes on the host)."""
+    res = 5000
+    path = tmp_path / "mesh.txt"
+    x, y, v, _ = synthetic_hic(1200, 150, seed=9, n_loops=20)
+    with open(path, "w") as fh:
+        for a, b, c in zip(x, y, v):
+            fh.write(f"chr21\t{a*res}\tchr21\t{b*res}\t{c}\n")
+    outs = {}
+    for mode in ("off", "block", "rowshard"):
+        out = str(tmp_path / f"loops_{mode}.tsv")
+        rc = main(["-f", str(path), "-ch", "21", "-r", "5kb", "-o", out,
+                   "-d", "750kb", "-pt", "0.2", "-st", "0.6",
+                   "--engine-mesh", mode])
+        assert rc == 0, mode
+        outs[mode] = open(out).read().splitlines()
+    assert outs["block"] == outs["off"]
+    assert len(outs["off"]) > 3
+    # rowshard: same anchors/scales; q differs only by normalize rounding
+    def calls(lines):
+        return [tuple(l.split("\t")[:6]) + (l.split("\t")[7],)
+                for l in lines[1:]]
+    assert calls(outs["rowshard"]) == calls(outs["off"])
+    import numpy as np
+    q_off = np.array([float(l.split("\t")[6]) for l in outs["off"][1:]])
+    q_rs = np.array([float(l.split("\t")[6]) for l in outs["rowshard"][1:]])
+    np.testing.assert_allclose(q_rs, q_off, rtol=5e-3)

@@ -113,3 +113,14 @@ def test_diff_cli_resume_retries_failed_units(cond_files, tmp_path):
     assert _run(cond_files, out, ["--engine-resume"]) == 0
     for sfx in SUFFIXES:
         assert open(out + sfx).read() == open(clean + sfx).read(), sfx
+
+
+def test_diff_cli_engine_mesh_matches(cond_files, tmp_path):
+    """--engine-mesh block on the differential CLI: identical four files
+    to the single-device run (rowshard maps to block for diff)."""
+    out_a = str(tmp_path / "m_off")
+    out_b = str(tmp_path / "m_blk")
+    assert _run(cond_files, out_a, ["--engine-mesh", "off"]) == 0
+    assert _run(cond_files, out_b, ["--engine-mesh", "block"]) == 0
+    for sfx in SUFFIXES:
+        assert open(out_a + sfx).read() == open(out_b + sfx).read(), sfx

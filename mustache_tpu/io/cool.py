@@ -96,6 +96,23 @@ class CoolFile:
             raise ValueError(f"balance column {column!r} not in {self.path}")
         return bins[column][lo:hi].astype(np.float64)
 
+    def _read_pixels(self, p0: int, p1: int):
+        """The three pixel columns for rows [p0, p1), widened to
+        i64/f64 DURING the HDF5 read (read_direct converts in-library —
+        no post-read .astype pass; at 9.3M rows those three extra numpy
+        copies cost more than the reads themselves on a throttled VM)."""
+        px = self._g["pixels"]
+        n = p1 - p0
+        b1 = np.empty(n, np.int64)
+        b2 = np.empty(n, np.int64)
+        v = np.empty(n, np.float64)
+        if n:
+            sel = np.s_[p0:p1]
+            px["bin1_id"].read_direct(b1, sel)
+            px["bin2_id"].read_direct(b2, sel)
+            px["count"].read_direct(v, sel)
+        return b1, b2, v
+
     def fetch_band(self, chrom: str, distance_bp: int,
                    balance: str | bool = True):
         """COO triplets (x, y, v) of the chromosome's upper-triangular
@@ -107,10 +124,7 @@ class CoolFile:
         # (~25MB at 1kb genome scale if read whole)
         b1off = self._g["indexes/bin1_offset"][lo:hi + 1]
         p0, p1 = int(b1off[0]), int(b1off[-1])
-        px = self._g["pixels"]
-        b1 = px["bin1_id"][p0:p1].astype(np.int64)
-        b2 = px["bin2_id"][p0:p1].astype(np.int64)
-        v = px["count"][p0:p1].astype(np.float64)
+        b1, b2, v = self._read_pixels(p0, p1)
 
         keep = (b2 < hi) & (np.abs(b2 - b1) <= distance_bp / res)
         b1, b2, v = b1[keep] - lo, b2[keep] - lo, v[keep]
@@ -118,14 +132,16 @@ class CoolFile:
         if balance is not False:
             column = "weight" if balance is True else str(balance)
             w = self.weights(chrom, column)
-            v = v * w[b1] * w[b2]
+            v *= w[b1]          # in place: v is this call's own copy
+            v *= w[b2]
         # deliberate deviation: the reference's bare nan_to_num
         # (mustache.py:428) maps +-inf to +-DBL_MAX, letting an inf-scaled
         # count through the positivity filter as an absurd value; cooler
         # balance weights are NaN (never inf) for masked bins, so inf here
-        # can only mean corrupt input — scrub it to 0 instead.
-        v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
-        pos = v > 0
+        # can only mean corrupt input — drop it instead. NaN fails > 0 on
+        # its own, so (v > 0) & isfinite == nan_to_num + (v > 0), minus
+        # the full-array scrub pass.
+        pos = (v > 0) & np.isfinite(v)
         return b1[pos], b2[pos], v[pos]
 
     def fetch_rect(self, chrom1: str, chrom2: str,
@@ -146,24 +162,17 @@ class CoolFile:
         blo, bhi = self._chrom_bin_range(b)
         b1off = self._g["indexes/bin1_offset"][alo:ahi + 1]
         p0, p1 = int(b1off[0]), int(b1off[-1])
-        px = self._g["pixels"]
-        b1 = px["bin1_id"][p0:p1].astype(np.int64)
-        b2 = px["bin2_id"][p0:p1].astype(np.int64)
-        v = px["count"][p0:p1].astype(np.float64)
+        b1, b2, v = self._read_pixels(p0, p1)
         keep = (b2 >= blo) & (b2 < bhi)
         x, y, v = b1[keep] - alo, b2[keep] - blo, v[keep]
         if balance is not False:
             column = "weight" if balance is True else str(balance)
-            v = v * self.weights(a, column)[x] * self.weights(b, column)[y]
+            v *= self.weights(a, column)[x]
+            v *= self.weights(b, column)[y]
         if flip:
             x, y = y, x
-        # deliberate deviation: the reference's bare nan_to_num
-        # (mustache.py:428) maps +-inf to +-DBL_MAX, letting an inf-scaled
-        # count through the positivity filter as an absurd value; cooler
-        # balance weights are NaN (never inf) for masked bins, so inf here
-        # can only mean corrupt input — scrub it to 0 instead.
-        v = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
-        pos = v > 0
+        # inf dropped, NaN fails > 0 — see fetch_band's deviation note
+        pos = (v > 0) & np.isfinite(v)
         return x[pos], y[pos], v[pos]
 
     def close(self):

@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any, NamedTuple
 
 import numpy as np
@@ -45,6 +46,13 @@ from mustache_tpu.scalespace import LadderSpec, build_ladder
 
 SENTINEL = 2.0        # fills the masked wedges; participates in the blurs
 LOG2 = math.log(2.0)  # log-space image of the "untested" marker q=2
+
+# BH strategy in _band_candidates: "count" (default — cutoff by count
+# fixed-point + top_k of the significant set; no full-array sort) or
+# "sort" (the round-3 full key+index sort; exact-q export for
+# non-significant neighbors, which emission never uses). Both produce
+# identical loop calls; see the derivation at the use site.
+_BH_MODE = os.environ.get("MUSTACHE_TPU_BH", "count")
 
 
 def band_width(n: int, d_px: int) -> int:
@@ -150,6 +158,37 @@ def _blur_ladder(c, kernels):
                       jnp.zeros((M, S, nslab * SLAB, N), cpad.dtype))
     g = g[:, :, :N]
     return g[0] if single else g
+
+
+def _blur_matmul(c, kernels):
+    """The separable blur as two banded-Toeplitz matmuls (MXU form).
+
+    Same math as :func:`_blur_ladder` (symmetric pad + VALID convolution
+    per axis) with each 1-D pass expressed as a matmul against
+    ``T[s, i, p] = k[s][p - i]`` — the [N, N+2R] Toeplitz operator built
+    ON DEVICE by the tile-reshape trick (tile a zero-extended kernel of
+    period C+1 over rows of width C; the per-row offset walks exactly one
+    lane, so no scatter and no multi-MB baked constant; wrap indices land
+    in the zero extension for every reachable p - i). Batched inputs keep
+    standard row-major layouts end to end, unlike the batched grouped
+    conv whose batch-minor output layout pads B up the 128-lane axis
+    (the 16x HBM blowup documented in _blur_ladder) — this is what lifts
+    the differential path's batch cap. Results differ from the conv path
+    by f32 accumulation order only; use where candidate-level tolerance
+    holds (the diff p-planes; the single-map ladder stays conv/Pallas).
+
+    ``c``: [B, N, N]; ``kernels``: [S, W] (numpy). Returns [B, S, N, N].
+    """
+    B, N, _ = c.shape
+    S, W = kernels.shape
+    R = (W - 1) // 2
+    C = N + 2 * R
+    u = jnp.pad(jnp.asarray(kernels, c.dtype), ((0, 0), (0, C + 1 - W)))
+    T = jnp.tile(u, (1, N))[:, : N * C].reshape(S, N, C)
+    cpad = jnp.pad(c, ((0, 0), (R, R), (R, R)), mode="symmetric")
+    hp = lax.Precision.HIGHEST
+    g1 = jnp.einsum("sij,bjk->bsik", T, cpad, precision=hp)   # row pass
+    return jnp.einsum("bsij,spj->bsip", g1, T, precision=hp)  # col pass
 
 
 def _bh_logq(logp_flat, n_tested):
@@ -451,20 +490,66 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
 
     found = band_nz & (band_logp < pinf)
     n_tested = jnp.sum(found, dtype=jnp.int32)
-    keys = jnp.where(found, band_logp, pinf)      # +inf sorts to the tail
+    keys = jnp.where(found, band_logp, pinf)      # +inf = untested marker
     kf = keys.reshape(-1)
-    # ONE stable key+index sort serves both BH and selection: qs[:K] /
-    # sidx[:K] are the K smallest-p pixels (row-major stable on ties like
-    # the reference argsort, mustache.py:792) with their q-values — a
-    # separate top_k pass costs as much as the whole sort again. BH q is
-    # non-decreasing along the p-sorted order, so the K smallest-p pixels
-    # are a superset of every q < pt pixel whenever sig_count <= K (the
-    # regrow contract guarantees that).
-    sp, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])), num_keys=1)
-    qs = _logq_from_sorted(sp, n_tested)
-    sig_count = jnp.sum(qs < log_pt, dtype=jnp.int32)
-    cand_logq = qs[:K]
-    flat_idx = sidx[:K]
+    if _BH_MODE == "sort":
+        # Fallback (MUSTACHE_TPU_BH=sort): ONE stable key+index sort serves
+        # both BH and selection: qs[:K] / sidx[:K] are the K smallest-p
+        # pixels (row-major stable on ties like the reference argsort,
+        # mustache.py:792) with their q-values. BH q is non-decreasing
+        # along the p-sorted order, so the K smallest-p pixels are a
+        # superset of every q < pt pixel whenever sig_count <= K (the
+        # regrow contract guarantees that).
+        sp_full, sidx = lax.sort((kf, lax.iota(jnp.int32, kf.shape[0])),
+                                 num_keys=1)
+        qs_full = _logq_from_sorted(sp_full, n_tested)
+        sig_count = jnp.sum(qs_full < log_pt, dtype=jnp.int32)
+        cand_logq = qs_full[:K]
+        flat_idx = sidx[:K]
+        look_sp, look_qs = sp_full, qs_full
+        in_table = None
+    else:
+        # Default: BH WITHOUT the full-array sort. The step-up cutoff
+        # k* = max{j : min(p_(j)·n/j, 1) < pt} is the largest fixed point
+        # of k -> #{i : min(p_i·n/k, 1) < pt}: iterating from k0 = M the
+        # sequence is non-increasing, stays >= k*, and every fixed point
+        # > k* would itself satisfy the step-up condition — so a few O(M)
+        # count passes replace the O(M log M) sort (measured 3-6 passes;
+        # the sort is ~180 ms/launch at the 1kb shape, docs/PERF.md). The
+        # significant set {q < pt} is exactly the k* pixels with
+        # min(p_i·n/k*, 1) < pt (no tie can straddle the cutoff: equal p
+        # have equal membership), extracted by one top_k and re-sorted at
+        # candidate size — bit-identical q for every significant pixel
+        # because the suffix cummin that defines q can never be attained
+        # past rank k* (those terms are all >= pt > q). All expressions
+        # reuse _logq_from_sorted's exact grouping (lp + log n) - log k.
+        tmp = kf + jnp.log(n_tested.astype(dtype))
+        zero = dtype.type(0.0)
+
+        def _nsig_at(k):
+            t = jnp.minimum(tmp - jnp.log(k.astype(dtype)), zero)
+            return jnp.sum(t < log_pt, dtype=jnp.int32)
+
+        _, kstar = lax.while_loop(
+            lambda s: s[1] != s[0],
+            lambda s: (s[1], _nsig_at(s[1])),
+            (jnp.int32(-1), jnp.int32(kf.shape[0])))
+        sig_count = kstar
+        sig = jnp.minimum(tmp - jnp.log(kstar.astype(dtype)), zero) < log_pt
+        # K largest of -lp (masked to the significant set) = K smallest-p
+        # significant pixels; ties at the K boundary only matter when
+        # k* > K, where the regrow contract discards this launch anyway.
+        ext_vals, ext_idx = lax.top_k(
+            jnp.where(sig, -kf, dtype.type(-np.inf)), K)
+        # deterministic candidate order: (p, flat index) lexicographic ==
+        # the stable row-major tie order of the reference argsort. Empty
+        # slots carry +inf keys and clip to q=log 1=0 (cand_valid False).
+        sp, flat_idx = lax.sort((-ext_vals, ext_idx.astype(jnp.int32)),
+                                num_keys=2)
+        qs = _logq_from_sorted(sp, n_tested)
+        cand_logq = qs
+        look_sp, look_qs = sp, qs
+        in_table = jnp.minimum(kstar, K)
     cand_valid = cand_logq < log_pt
     cx = (flat_idx // Dl).astype(jnp.int32)
     cd = (flat_idx % Dl).astype(jnp.int32)
@@ -513,11 +598,20 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
     nxc = jnp.clip(nx, 0, N - 1)
     ndc = jnp.clip(nd, 0, Dl - 1)
     # value lookup by binary search (BH q equal on tied p, so exact).
-    # Measured alternatives at the 1kb shape: this searchsorted lowers to
-    # a 23-step while (~80 ms/launch of per-kernel overhead), but the
-    # one-scatter alternative (zeros.at[sidx].set(qs) + take) costs
-    # ~490 ms — TPU scatter of 8.4M elements is far worse. Keep the sort.
-    nb_q = _bh_lookup(sp, qs, keys[nxc, ndc])
+    # In count mode the table holds only the significant pixels, so a
+    # non-significant tested neighbor resolves past the table and takes
+    # the q=1 marker instead of its true q — emission-exact, because the
+    # host argmin winner always has q < pt (every component contains a
+    # passing candidate's center) and a >= pt neighbor can never win.
+    # Every SIGNIFICANT pixel is in the table (or the launch regrows), so
+    # any neighbor that could win resolves to its exact q.
+    nb_val = keys[nxc, ndc]
+    if in_table is None:
+        nb_q = _bh_lookup(look_sp, look_qs, nb_val)
+    else:
+        pos = jnp.searchsorted(look_sp, nb_val, method="scan_unrolled")
+        nb_q = jnp.where(pos < in_table,
+                         look_qs[jnp.clip(pos, 0, K - 1)], dtype.type(0.0))
     neigh_logq = jnp.where(
         in_band & found[nxc, ndc], nb_q,
         jnp.where(in_band & band_nz[nxc, ndc], dtype.type(LOG2),

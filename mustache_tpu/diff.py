@@ -350,12 +350,14 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
 
             nzd = nz1s & nz2s
             cds = jnp.where(nzd, cs1 - cs2, zero)
-            # batched [B, S', N, N] conv: XLA lays its output batch-minor
-            # (T(4,128): B padded to 128 lanes, ~1 GB/block of padded HLO
-            # temp), which caps the batch at 4 — but the alternatives
-            # measured WORSE: per-block convs under lax.map at B=8 ran
-            # 2x slower (sequential dispatch) than B=4 with this form
-            gd = _blur_ladder(cds, kernels[sel])       # [B, 2*n_oct, N, N]
+            # matmul-form blur (detect._blur_matmul): the batched grouped
+            # conv laid its output batch-minor (T(4,128): B padded to 128
+            # lanes, ~1 GB/block of padded HLO temp), capping the batch
+            # at 4; per-block convs under lax.map at B=8 ran 2x slower
+            # (sequential dispatch). Toeplitz matmuls keep standard
+            # layouts and the MXU busy, lifting the cap to 8.
+            from mustache_tpu.detect import _blur_matmul
+            gd = _blur_matmul(cds, kernels[sel])       # [B, 2*n_oct, N, N]
             gdb = band_of(gd, zero)
             nzdb = band_of(nzd, False)
             nzdbf = nzdb.astype(dtype)
@@ -532,13 +534,16 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
         cap = 1
     elif _resolve_pallas(cfg):
         # fused-kernel path: both maps' ladders run in-kernel with no
-        # [S,N,N] stack. The cap is set by the XLA difference-map conv
-        # (2 planes/octave), whose output XLA lays out batch-minor with a
-        # (B -> 128)-lane pad: ~1 GB/block of padded HLO temp at N=2000
-        # (B=8 wants 2x7.6G and OOMs 16G HBM; B=4 fits and measured
-        # FASTER than a B=8 lax.map per-block-conv variant)
-        per_block = 1000 * n * n // 4
-        cap = max(1, min(4, int(6e9 // per_block)))
+        # [S,N,N] stack. The difference-map ladder runs as Toeplitz
+        # matmuls (detect._blur_matmul) with standard layouts — the live
+        # peak per block is the two einsum operands/results at
+        # ~2 x S' x N^2 x 4 B (S'=2/octave), plus the stacked [2B]
+        # kernel state; cap at 8 (the [2B] grid doubles the single-map
+        # batch) under the same 6 GB guard. The batch-minor grouped conv
+        # this replaces OOMed at B=8 (2x7.6G padded temps).
+        itemsize = 8 if cfg.precision == "float64" else 4
+        per_block = 40 * n * n * itemsize
+        cap = max(1, min(8, int(6e9 // per_block)))
     else:
         # triple ladder: ~3x the single-map XLA path's live blur buffers
         itemsize = 8 if cfg.precision == "float64" else 4

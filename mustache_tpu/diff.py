@@ -549,10 +549,13 @@ def _auto_batch_diff(n: int, cfg: DetectionConfig, backend: str,
         itemsize = 8 if cfg.precision == "float64" else 4
         per_block = 135 * n * n * itemsize
         cap = max(1, min(4, int(6e9 // per_block)))
-    # memory-only cap: B may exceed nblocks (see pipeline._auto_batch —
-    # one padded launch beats two exact ones on per-launch overhead)
+    # memory-only cap; the launch-vs-slot cost model picks B (see
+    # pipeline._pick_batch). A diff slot costs ~2.5x a single-map slot
+    # (two ladders + recovery + two candidate tables, measured in the
+    # r04 B-sweep: nblocks=6 B=2/4/8 -> 0.63/0.65/0.78 s), which the
+    # model absorbs by scaling the slot term.
     from mustache_tpu.pipeline import _pick_batch
-    return _pick_batch(nblocks, cap)
+    return _pick_batch(nblocks, cap, int(n * 1.6))
 
 
 def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig,

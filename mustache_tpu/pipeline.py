@@ -152,33 +152,43 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
         # under ~4GB
         per_block = 45 * n * n * 4
         cap = max(1, min(4, int(4e9 // per_block)))
-    # cap is MEMORY-only — B may exceed nblocks: the per-launch fixed cost
-    # (dispatch + the flat BH sort + output round-trip, ~150ms measured on
-    # the 1kb shape) outweighs extra pad-slot computes, so 5 blocks run
-    # faster as ONE B=8 launch (8 computes) than two B=4 launches (same 8
-    # computes, one more launch): 549ms vs 705ms measured.
-    # _pick_batch's compute-count tiebreak still keeps B=2 for 2 blocks.
-    return _pick_batch(nblocks, cap)
+    # cap is MEMORY-only — B may exceed nblocks when the launch-vs-slot
+    # cost model says one padded launch beats two exact ones.
+    return _pick_batch(nblocks, cap, n)
 
 
-def _pick_batch(nblocks: int, cap: int) -> int:
-    """Batch size B <= cap minimizing LAUNCH COUNT first (each launch pays
-    a fixed latency floor: dispatch + the flat BH sort + the output
-    round-trip), then total block computes (a trailing partial batch is
-    zero-padded to B and the pad slots are full computes), then preferring
-    the larger batch. Compute-count-first is a trap: 17 blocks would pick
-    B=1 (17 computes, 17 launches) over B=6 (18 computes, 3 launches) and
-    run 5x slower on latency-dominated links.
+# Cost-model constants, fit on the tunneled v5e chip AFTER the BH count
+# fixed-point removed the flat per-launch sort (docs/PERF.md r04 B-sweep:
+# 5kb nblocks=6 B=2/4/8/16 -> 0.34/0.31/0.30/0.48 s warm; 1kb nblocks=5
+# B=1/2/8 -> 0.83/0.82/0.91 s; the joint fit F=0.04, S=0.0225*(n/2000)^2
+# reproduces every measured ordering). Before that change the per-launch
+# floor was ~170 ms and launch-count-first was the right policy; with it
+# gone the dominant waste is PAD SLOTS at large n (a trailing partial
+# batch is zero-padded to B; pads skip the in-kernel blur but still pay
+# the full XLA epilogue), while at small n the per-launch dispatch+D2H
+# round-trip still favors big batches.
+_LAUNCH_F = 0.04           # s per launch: dispatch + D2H round-trip
+_SLOT_S = 5.6e-9           # s per block pixel: blur + epilogue per slot
+
+
+def _pick_batch(nblocks: int, cap: int, n: int = 2000) -> int:
+    """Batch size B <= cap minimizing the measured launch cost model
+    ``launches * F + total_slots * S * n^2`` (see constants above), tie
+    breaking to the larger batch (fewer launches never hurts at equal
+    slot count). The model generalizes the two regimes that used to be
+    hand-picked: genome-scale chromosomes (slots ~ nblocks for any B —
+    larger B wins on launch count) and short chromosomes (pad slots
+    dominate — B drops to the divisor-friendly size).
 
     B is restricted to POWERS OF TWO: each distinct B is a full detector
     compile (minutes cold on a tunneled chip), so a genome's spread of
     per-chromosome block counts must map onto a small enumerable set —
-    {1,2,4,8,...} — that a warmup pass can precompile. The pad-compute
-    cost this adds is bounded (< 2x only for tiny chromosomes, where
-    blocks are cheapest); launch count never increases."""
+    {1,2,4,8,...} — that a warmup pass can precompile."""
     cands = [b for b in (1, 2, 4, 8, 16, 32) if b <= cap] or [1]
+    slot_s = _SLOT_S * n * n
     return min(cands,
-               key=lambda b: (-(-nblocks // b), -(-nblocks // b) * b, -b))
+               key=lambda b: (-(-nblocks // b) * _LAUNCH_F
+                              + -(-nblocks // b) * b * slot_s, -b))
 
 
 def dense_from_band_host(band, s: int, N: int) -> np.ndarray:

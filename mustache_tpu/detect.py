@@ -530,23 +530,39 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
             t = jnp.minimum(tmp - jnp.log(k.astype(dtype)), zero)
             return jnp.sum(t < log_pt, dtype=jnp.int32)
 
+        # initial carry derived from n_tested (0 * n_tested) so its vma
+        # type matches the body output under shard_map: the body counts
+        # over kf, which is varying on the mesh's block axis, and a
+        # replicated literal carry fails while_loop typing (the r04
+        # MULTICHIP regression). Single-device this is a free no-op.
+        vz = n_tested * 0
         _, kstar = lax.while_loop(
             lambda s: s[1] != s[0],
             lambda s: (s[1], _nsig_at(s[1])),
-            (jnp.int32(-1), jnp.int32(kf.shape[0])))
+            (vz - 1, vz + kf.shape[0]))
         sig_count = kstar
         sig = jnp.minimum(tmp - jnp.log(kstar.astype(dtype)), zero) < log_pt
         # K largest of -lp (masked to the significant set) = K smallest-p
         # significant pixels; ties at the K boundary only matter when
         # k* > K, where the regrow contract discards this launch anyway.
+        # top_k caps at the band size (a regrown capacity can exceed it
+        # when >half the band is significant); pad slots are re-added
+        # below with q=log 1=0 so the table keeps its K-slot shape.
+        K_eff = min(K, kf.shape[0])
         ext_vals, ext_idx = lax.top_k(
-            jnp.where(sig, -kf, dtype.type(-np.inf)), K)
+            jnp.where(sig, -kf, dtype.type(-np.inf)), K_eff)
         # deterministic candidate order: (p, flat index) lexicographic ==
         # the stable row-major tie order of the reference argsort. Empty
         # slots carry +inf keys and clip to q=log 1=0 (cand_valid False).
         sp, flat_idx = lax.sort((-ext_vals, ext_idx.astype(jnp.int32)),
                                 num_keys=2)
         qs = _logq_from_sorted(sp, n_tested)
+        if K_eff < K:
+            pad = K - K_eff
+            sp = jnp.concatenate([sp, jnp.full((pad,), pinf, dtype)])
+            qs = jnp.concatenate([qs, jnp.zeros((pad,), dtype)])
+            flat_idx = jnp.concatenate(
+                [flat_idx, jnp.zeros((pad,), jnp.int32)])
         cand_logq = qs
         look_sp, look_qs = sp, qs
         in_table = jnp.minimum(kstar, K)

@@ -33,6 +33,9 @@ if not TPU_LANE:
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on real TPU hardware (MTPU_TPU_TESTS=1)")
+    config.addinivalue_line(
+        "markers", "smoke: seconds-fast pre-commit tier "
+        "(pytest -m smoke, one test per subsystem, < 60 s total)")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -289,7 +289,16 @@ def _measure_fresh_process(tag, cfg_args):
     what a user pays for a chr21-scale run in a brand-new process after the
     one-time `mustache_tpu.warmup` pass — backend init + persistent-cache
     hits + dispatch + the full pipeline. The in-process 'cold' above it
-    conflates first-compile cost; this isolates the steady-state UX."""
+    conflates first-compile cost; this isolates the steady-state UX.
+
+    Two fresh processes run back to back: a driver VM whose persistent
+    cache misses any shape pays the compile in run 1 and WRITES the cache,
+    so run 2 is the genuinely warmed-cold number (the r04 8.5s-vs-32.2s
+    discrepancy was exactly this — the driver's first bench of the round
+    compiled into a cache the builder's session had kept warm). The metric
+    is min(run1, run2); the stderr line prints both plus the child's phase
+    breakdown and the number of new persistent-cache entries per run, so
+    a recompile is visible, not inferred."""
     import subprocess
 
     code = f"""
@@ -301,20 +310,46 @@ from bench import build_workload, _setup_jax_cache
 _setup_jax_cache()
 from mustache_tpu.config import DetectionConfig
 from mustache_tpu.pipeline import detect_loops_coo
+t_imp = time.time() - t0
+import jax; jax.devices()
+t_dev = time.time() - t0
 x, y, v = build_workload()
+t_wl = time.time() - t0
 cfg = DetectionConfig({cfg_args})
 loops = detect_loops_coo(x, y, v.copy(), cfg)
-print(f"FRESH {{time.time() - t0:.2f}} {{len(loops)}}")
+t_p1 = time.time() - t0
+loops = detect_loops_coo(x, y, v.copy(), cfg)
+t_p2 = time.time() - t0
+print(f"FRESH {{t_p1:.2f}} {{len(loops)}} imp={{t_imp:.1f}} "
+      f"dev={{t_dev - t_imp:.1f}} wl={{t_wl - t_dev:.1f}} "
+      f"pipe1={{t_p1 - t_wl:.1f}} pipe2={{t_p2 - t_p1:.1f}}")
 """
-    t0 = time.time()
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=900)
-    wall = time.time() - t0
-    line = [l for l in r.stdout.splitlines() if l.startswith("FRESH")]
-    inner = float(line[0].split()[1]) if line else float("nan")
-    print(f"# fresh-process {tag}: wall {wall:.1f}s inner {inner:.1f}s",
-          file=sys.stderr)
-    return wall
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_mustache"))
+
+    def _n_cache():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
+    walls, inners = [], []
+    for rep in range(2):
+        n0 = _n_cache()
+        t0 = time.time()
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=900)
+        walls.append(time.time() - t0)
+        line = [l for l in r.stdout.splitlines() if l.startswith("FRESH")]
+        inners.append(float(line[0].split()[1]) if line else float("nan"))
+        detail = line[0].split(None, 3)[3] if line else "(no output)"
+        print(f"# fresh-process {tag} run{rep + 1}: wall {walls[-1]:.1f}s "
+              f"inner {inners[-1]:.1f}s new_cache_entries={_n_cache() - n0} "
+              f"{detail}", file=sys.stderr)
+        if walls[-1] < 10 and rep == 0:
+            break      # already warmed-cold; skip the confirmation run
+    return min(walls)
 
 
 def main():

@@ -154,8 +154,12 @@ def _blur_ladder(c, kernels):
         out = pass2(pass1(rows[:, None]))         # [M, S, SLAB, N]
         return lax.dynamic_update_slice_in_dim(acc, out, k * SLAB, axis=2)
 
-    g = lax.fori_loop(0, nslab, body,
-                      jnp.zeros((M, S, nslab * SLAB, N), cpad.dtype))
+    # seed the accumulator from the input (cpad * 0 scalar) so its vma
+    # type is varying wherever cpad is varying under shard_map — a
+    # replicated zeros literal fails fori_loop carry typing there
+    acc0 = jnp.zeros((M, S, nslab * SLAB, N), cpad.dtype) \
+        + cpad.reshape(-1)[0] * 0
+    g = lax.fori_loop(0, nslab, body, acc0)
     g = g[:, :, :N]
     return g[0] if single else g
 

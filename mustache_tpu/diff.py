@@ -184,11 +184,16 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
             # support pixels export response 0, diff_mustache.py:446-449)
             states[m] = (bv, best_logp, best_pair, best_sig)
     else:
-        zb = jnp.zeros((N, Dl), dtype)
-        states = {m: (zb,                               # best_v
-                      jnp.full((N, Dl), pinf, dtype),   # best_logp
-                      jnp.full((N, Dl), sent, dtype),   # best_pair
-                      jnp.full((N, Dl), -1, jnp.int32))  # best_sigidx
+        # carries seeded from the input (Gb * 0 scalar) so their vma type
+        # is varying under shard_map — replicated literal carries fail
+        # scan typing there (same fix as detect._band_candidates)
+        vzf = Gb.reshape(-1)[0] * 0
+        zb = jnp.zeros((N, Dl), dtype) + vzf
+        states = {m: (zb,                                      # best_v
+                      jnp.full((N, Dl), pinf, dtype) + vzf,    # best_logp
+                      jnp.full((N, Dl), sent, dtype) + vzf,    # best_pair
+                      jnp.full((N, Dl), -1, jnp.int32)
+                      + vzf.astype(jnp.int32))                 # best_sigidx
                   for m in (1, 2)}
         for o in range(n_octaves):
             G1 = Gb[0, o * bpo:(o + 1) * bpo]
@@ -600,14 +605,18 @@ def find_diff_loops(x1, y1, v1, x2, y2, v2, *, resolution: int = 5000,
 
 def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
                           normalize: bool = True, exact_normalize: bool = False,
-                          runner=None):
+                          runner=None, log=None):
     """Differential loop calls for one chromosome, both conditions.
 
     Returns a list of (bin1, bin2, q, scale, tag) with tag 1=loop1,
     2=diffloop1, 3=loop2, 4=diffloop2 (diff_mustache.py:704-715).
 
     ``runner``: optional callable ``(detector, (b1, b2)) -> outputs`` used
-    by the sharded driver; defaults to direct invocation.
+    by the sharded driver; defaults to direct invocation. A MeshRunner with
+    ``band_placement="rowshard"`` holds only each chip's contiguous block
+    range as a slab PAIR (one per condition) — at 1kb-diff scale the
+    replicated alternative is 2 x band x n_chips of HBM and H2D
+    (diff_mustache.py:630-651 is the shared grid being scaled).
 
     Engine-level API: when ``normalize`` is True and ``v1``/``v2`` are
     float64, the z-score mutates the caller's arrays IN PLACE (the CLI
@@ -640,8 +649,12 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     # placed replicated over the mesh, normalized in place on every chip,
     # and each launch shards only the [B] starts vector — sharded ==
     # unsharded values with zero host densifies.
+    row_shard = (runner is not None
+                 and getattr(runner, "band_placement", None) == "rowshard")
+    # rowshard keeps normalize on the host (the windowed per-diagonal
+    # z-score needs full columns; same stance as the single-map pipeline)
     device_norm = (normalize and not exact_normalize
-                   and dtype == np.float32)
+                   and dtype == np.float32 and not row_shard)
 
     # ONE H2D per chromosome and condition (see pipeline.detect_loops_coo);
     # rows bucketed so chromosome lengths share compiles (bandnorm)
@@ -711,7 +724,14 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         B = runner.round_batch(B)
     det = build_diff_detector(cfg, width)
 
-    if bands is not None and bands_dev is None:
+    plan = None
+    if row_shard:
+        # per-chip slab PAIR: chip i holds only its block range's rows of
+        # BOTH condition bands (logged bytes count the pair)
+        plan = runner.plan_rowshard(start, width)
+        bands_dev = (runner.place_band_rowshard(bands[0], plan, log=log),
+                     runner.place_band_rowshard(bands[1], plan, log=log))
+    elif bands is not None and bands_dev is None:
         place = (runner.place_band if runner is not None
                  else jax.device_put)
         bands_dev = (place(bands[0]), place(bands[1]))
@@ -726,12 +746,22 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         return idxs, det.fn_band_packed(bands_dev[0], bands_dev[1],
                                         pack_starts(idxs, B))
 
-    results = []
+    # rows tagged by block index: rowshard launches interleave blocks
+    # chip-major, so the reference's block-order output needs a final
+    # stable sort (a no-op for the in-order paths)
+    tagged: list = []
 
     def rerun_block(i, cap):
-        """Re-detect block i with a larger candidate capacity from the
-        device-resident (already normalized) bands."""
+        """Re-detect block i with a larger candidate capacity."""
         det2 = build_diff_detector(cfg, width, max_candidates=cap)
+        if row_shard:
+            # the normalized bands are host-resident in this mode: rerun
+            # the one overflowing block through the single-block entry
+            from mustache_tpu.pipeline import dense_from_band_host
+            blk1 = dense_from_band_host(bands[0], start[i], width)
+            blk2 = dense_from_band_host(bands[1], start[i], width)
+            out = det2.fn_single(blk1.astype(dtype), blk2.astype(dtype))
+            return {k: np.asarray(a) for k, a in out.items()}
         nb = runner.nb if runner is not None else 1
         fl, il = det2.fn_band_packed(bands_dev[0], bands_dev[1],
                                      pack_starts([i], nb))
@@ -743,6 +773,8 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
         fh, ih = np.asarray(out[0]), np.asarray(out[1])
         get = lambda bi: unpack_block(det.out_spec, fh[bi], ih[bi])
         for bi, i in enumerate(idxs):
+            if i is None:     # rowshard pad slot
+                continue
             block_out = get(bi)
             block_out = _maybe_regrow_diff(
                 block_out, cfg, lambda cap, i=i: rerun_block(i, cap))
@@ -752,16 +784,23 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
             for tag, rows in zip((1, 2, 3, 4), groups):
                 for r in rows:
                     if r[0] >= start[i] + mask or r[1] >= start[i] + mask:
-                        results.append((int(r[0]), int(r[1]), float(r[2]),
-                                        float(r[3]), tag))
+                        tagged.append((i, (int(r[0]), int(r[1]),
+                                           float(r[2]), float(r[3]), tag)))
+
+    if row_shard:
+        batches = ((idxs, runner.run_rowshard(det, bands_dev, sl))
+                   for idxs, sl in plan.launches(B // runner.nb))
+    else:
+        batches = (launch(list(range(b0, min(b0 + B, nblocks))))
+                   for b0 in range(0, nblocks, B))
+
     # software pipelining: densify+upload batch k+1 while batch k computes
     pending = None
-    for b0 in range(0, nblocks, B):
-        idxs = list(range(b0, min(b0 + B, nblocks)))
-        launched = launch(idxs)
+    for launched in batches:
         if pending is not None:
             finish(*pending)
         pending = launched
     if pending is not None:
         finish(*pending)
-    return results
+    tagged.sort(key=lambda t: t[0])
+    return [row for _, row in tagged]

@@ -118,9 +118,9 @@ def main(argv=None):
         from mustache_tpu.sharding import initialize_distributed
         initialize_distributed(coordinator, nprocs, procid)
 
-    # rowshard is single-map-only; the differential bands stay replicated
-    runner = make_cli_runner(
-        "block" if args.engine_mesh == "rowshard" else args.engine_mesh)
+    runner = make_cli_runner(args.engine_mesh)
+    from mustache_tpu.runlog import RunLog
+    log = RunLog(json_mode=getattr(args, "json_log", False))
 
     manifests = None
     done = set()
@@ -206,7 +206,7 @@ def main(argv=None):
             precision=args.precision, block_batch=args.block_batch,
         )
         rows = detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg,
-                                     runner=runner) \
+                                     runner=runner, log=log) \
             if len(v1) and len(v2) else []
 
         counters = {1: 0, 2: 0, 3: 0, 4: 0}

@@ -198,14 +198,17 @@ class MeshRunner:
                       replicated_mb=round(band.nbytes * plan.nd / 1e6, 2))
         return jax.device_put(stack, self._slab_sh)
 
-    def _rowshard_fn(self, detector, slab_rows: int, Dl: int, Bl: int):
+    def _rowshard_fn(self, detector, slab_rows: int, Dl: int, Bl: int,
+                     n_bands: int = 1):
         """shard_map'd detector launch: each chip runs the packed band
-        detector on its local slab and its Bl-slot local starts row; the
-        packed outputs concatenate over the block axis. Zero collectives."""
+        detector on its local slab(s) and its Bl-slot local starts row; the
+        packed outputs concatenate over the block axis. Zero collectives.
+        ``n_bands``: 1 for the single-map detector, 2 for the differential
+        detector (a slab pair per chip, one per condition)."""
         import jax
         from jax.sharding import PartitionSpec as P
 
-        key = (slab_rows, Dl, Bl, id(detector._fn_band_packed))
+        key = (slab_rows, Dl, Bl, n_bands, id(detector._fn_band_packed))
         fn = self._rs_cache.get(key)
         if fn is None:
             try:
@@ -215,28 +218,46 @@ class MeshRunner:
 
             inner = detector._fn_band_packed
 
-            def local(band3, starts2, st, lp):
-                return inner(band3[0], starts2[0], st, lp)
+            def local(*args):
+                bands, (starts2, st, lp) = args[:n_bands], args[n_bands:]
+                return inner(*(b[0] for b in bands), starts2[0], st, lp)
 
+            # check_vma=False: the fused Pallas kernel's out_shape carries
+            # no vma type, which the static check rejects on TPU (CPU
+            # tests run the XLA path and never see it). The launch is
+            # embarrassingly parallel — zero collectives — so the varying
+            # -manual-axes analysis has nothing to verify here anyway.
+            kw = {}
+            try:
+                import inspect
+                if "check_vma" in inspect.signature(shard_map).parameters:
+                    kw["check_vma"] = False
+                elif "check_rep" in inspect.signature(shard_map).parameters:
+                    kw["check_rep"] = False      # older jax spelling
+            except (TypeError, ValueError):
+                pass
             fn = jax.jit(shard_map(
                 local, mesh=self.mesh,
-                in_specs=(P("block", None, None), P("block", None),
-                          P(), P()),
-                out_specs=P("block")))
+                in_specs=(P("block", None, None),) * n_bands
+                + (P("block", None), P(), P()),
+                out_specs=P("block"), **kw))
             self._rs_cache[key] = fn
         return fn
 
     def run_rowshard(self, detector, band_stack, starts_local):
-        """One launch: ``band_stack`` [nd, slab_rows, Dl] (placed),
+        """One launch: ``band_stack`` [nd, slab_rows, Dl] (placed) or a
+        tuple of such stacks (differential: one per condition),
         ``starts_local`` [nd, Bl] slab-relative block starts."""
         import jax
 
+        stacks = band_stack if isinstance(band_stack, tuple) else (band_stack,)
         st, lp = detector._scalars
-        fn = self._rowshard_fn(detector, band_stack.shape[1],
-                               band_stack.shape[2], starts_local.shape[1])
+        fn = self._rowshard_fn(detector, stacks[0].shape[1],
+                               stacks[0].shape[2], starts_local.shape[1],
+                               n_bands=len(stacks))
         starts_dev = jax.device_put(
             np.asarray(starts_local, np.int32), self._starts2_sh)
-        return fn(band_stack, starts_dev, st, lp)
+        return fn(*stacks, starts_dev, st, lp)
 
     def __call__(self, detector, blocks):
         import jax

@@ -185,3 +185,65 @@ def test_rowshard_regrow():
                            runner=make_runner(mesh, "rowshard"))
     assert [(l.bin1, l.bin2, l.q, l.scale) for l in got] == \
            [(l.bin1, l.bin2, l.q, l.scale) for l in ref]
+
+
+def test_diff_rowshard_matches_and_logs_bytes():
+    """Differential rowshard: slab PAIR per chip, identical rows across
+    1/2/4-chip meshes and vs the replicated runner; per-chip bytes logged
+    (VERDICT r04 item 5; diff_mustache.py:630-651 shared-grid analog)."""
+    from mustache_tpu.diff import detect_diff_loops_coo
+    from mustache_tpu.runlog import RunLog
+
+    d_px = 150
+    x1, y1, v1, _ = synthetic_hic(5200, d_px, seed=75, n_loops=40)
+    x2, y2, v2, _ = synthetic_hic(5200, d_px, seed=76, n_loops=40)
+    cfg = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", block_batch=1)
+    rows = None
+    for nd in (1, 2, 4):
+        mesh = make_mesh(n_block=nd, n_row=1, devices=jax.devices()[:nd])
+        runner = make_runner(mesh, band_placement="rowshard")
+        log = RunLog(quiet=True)
+        got = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(),
+                                    cfg, runner=runner, log=log)
+        if rows is None:
+            rows = got
+            assert len(rows) > 3
+            assert {t for *_, t in rows} >= {1, 3}
+        else:
+            assert got == rows, f"nd={nd} diverged"
+        ev = [e for e in log.events if e["event"] == "rowshard_band"]
+        assert len(ev) == 2      # one slab stack per condition
+        if nd > 1:
+            assert ev[0]["per_chip_mb"] < ev[0]["replicated_mb"] / 2
+
+    # replicated-runner cross-check: same calls, q to device-norm rounding
+    mesh = make_mesh(n_block=4, n_row=1)
+    rep = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), cfg,
+                                runner=make_runner(mesh))
+    assert [(a, b, s, t) for a, b, _, s, t in rows] == \
+           [(a, b, s, t) for a, b, _, s, t in rep]
+    np.testing.assert_allclose([q for _, _, q, _, _ in rows],
+                               [q for _, _, q, _, _ in rep], rtol=5e-3)
+
+
+def test_diff_rowshard_regrow():
+    """Candidate-table overflow reruns the block from the HOST band pair
+    in diff rowshard mode; calls must match the big-capacity run."""
+    from mustache_tpu.diff import detect_diff_loops_coo
+
+    d_px = 120
+    x1, y1, v1, _ = synthetic_hic(2500, d_px, seed=77, n_loops=30,
+                                  loop_strength=6.0)
+    x2, y2, v2, _ = synthetic_hic(2500, d_px, seed=78, n_loops=30,
+                                  loop_strength=6.0)
+    big = DetectionConfig(resolution=5000, distance_bp=d_px * 5000,
+                          precision="float32", max_candidates=4096)
+    mesh = make_mesh(n_block=2, n_row=1, devices=jax.devices()[:2])
+    ref = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), big,
+                                runner=make_runner(mesh, "rowshard"))
+    assert len(ref) > 3
+    tiny = big.with_(max_candidates=16)
+    got = detect_diff_loops_coo(x1, y1, v1.copy(), x2, y2, v2.copy(), tiny,
+                                runner=make_runner(mesh, "rowshard"))
+    assert got == ref

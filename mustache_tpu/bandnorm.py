@@ -242,19 +242,31 @@ def pad_exceptions(exc, rows: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_exc_fn(rows: int, Dl: int, dtype_name: str, bucket: int):
+def _build_exc_fn(rows: int, Dl: int, dtype_name: str, bucket: int,
+                  packed4: bool = False):
     """Tiny widen+scatter graph, SEPARATE from the normalize graph: the
     exception-list bucket is data-dependent (pow2 of the misfit count),
     and fusing it into the normalize graph made every new bucket a full
     normalize recompile — one the warmup pass cannot enumerate. Split
     out, the normalize graph has ONE warmable shape per band geometry and
-    the per-bucket cost is this trivial scatter (sub-second compile)."""
+    the per-bucket cost is this trivial scatter (sub-second compile).
+
+    ``packed4``: the band arrives as [rows, Dl//2] uint8 holding two
+    4-bit counts per byte (even logical column in the low nibble); the
+    graph unpacks to f32 before scattering. ``bucket`` 0 = no exception
+    list (unpack only)."""
     import jax
     import jax.numpy as jnp
 
-    def fn(band, exc_r, exc_c, exc_v):
-        if band.dtype in (jnp.uint8, jnp.uint16):
+    def fn(band, exc_r=None, exc_c=None, exc_v=None):
+        if packed4:
+            lo = (band & jnp.uint8(0x0F)).astype(jnp.float32)
+            hi = (band >> jnp.uint8(4)).astype(jnp.float32)
+            band = jnp.stack([lo, hi], axis=-1).reshape(band.shape[0], -1)
+        elif band.dtype in (jnp.uint8, jnp.uint16):
             band = band.astype(jnp.float32)
+        if exc_r is None:
+            return band
         # pad slots carry row index `rows` and are dropped
         return band.at[exc_r, exc_c].set(exc_v, mode="drop")
 
@@ -262,11 +274,14 @@ def _build_exc_fn(rows: int, Dl: int, dtype_name: str, bucket: int):
 
 
 def normalize_band_device(band_raw, n: int, resolution: int,
-                          distance_in_px: int, exceptions=None):
+                          distance_in_px: int, exceptions=None,
+                          packed4: bool = False):
     """Normalize a raw chromosome band on device.
 
     ``band_raw``: [rows, Dl] raw counts band (host array or device array;
-    host arrays are uploaded here). ``exceptions``: optional PADDED
+    host arrays are uploaded here), or [rows, Dl//2] uint8 nibble-packed
+    when ``packed4`` (two counts per byte — half the H2D bytes again vs
+    uint8 on link-bound transfers). ``exceptions``: optional PADDED
     (rows, cols, f32 values) triple (see :func:`pad_exceptions`) scattered
     over the widened band before normalizing — the compact-transfer path
     for mostly-integer data. Returns ``(band_norm, weights)`` device
@@ -275,13 +290,16 @@ def normalize_band_device(band_raw, n: int, resolution: int,
     import jax
 
     rows, Dl = band_raw.shape
+    if packed4:
+        Dl = 2 * Dl
     if not isinstance(band_raw, jax.Array):
         band_raw = jax.device_put(band_raw)
-    if exceptions is not None:
+    if exceptions is not None or packed4:
         exc = tuple(e if isinstance(e, jax.Array) else jax.device_put(e)
-                    for e in exceptions)
-        band_raw = _build_exc_fn(rows, Dl, str(band_raw.dtype),
-                                 int(exc[0].shape[0]))(band_raw, *exc)
+                    for e in (exceptions or ()))
+        band_raw = _build_exc_fn(
+            rows, Dl, str(band_raw.dtype),
+            int(exc[0].shape[0]) if exc else 0, packed4)(band_raw, *exc)
     donate = np.dtype(band_raw.dtype) not in (np.uint8, np.uint16)
     fn = _build_norm_fn(_norm_key(rows, Dl, n, resolution, distance_in_px),
                         donate)

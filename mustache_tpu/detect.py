@@ -320,12 +320,14 @@ def _box_counts_band(cs_flat, x, y, s, smax: int, N: int, Dl: int):
     The dense 2-D integral image this replaces cost two cumsums over the
     [B, N, N] dense mask (~0.5 GB of i32 at the 1kb shape — measured
     ~neutral wall-clock on the tunneled chip, but ~1 GB/launch less HBM
-    traffic); the band needs only a per-column prefix
-    ``cs[i, d] = #{i' < i : nz[i', i'+d]}`` (cumsum over [N, Dl]). A
-    dense axis-aligned box decomposes by diagonal: column d contributes
-    rows ``[max(x-s, y-s-d), min(x+s, y+s-d)]`` — at most ``4*smax+1``
-    columns, gathered for all candidates in two flat takes. Band cells
-    with i+d >= N are False in the mask, so row clamps at N are safe."""
+    traffic); the band needs only a per-column INCLUSIVE prefix
+    ``cs[i, d] = #{i' <= i : nz[i', i'+d]}`` (cumsum over [N, Dl], no
+    zero-row pad — the take indices shift by one instead, saving a
+    full-band copy). A dense axis-aligned box decomposes by diagonal:
+    column d contributes rows ``[max(x-s, y-s-d), min(x+s, y+s-d)]`` — at
+    most ``4*smax+1`` columns, gathered for all candidates in two flat
+    takes. Band cells with i+d >= N are False in the mask, so row clamps
+    at N are safe."""
     L = 4 * smax + 1
     rel = jnp.arange(-2 * smax, 2 * smax + 1, dtype=jnp.int32)[None, :]
     x_ = x[:, None]
@@ -338,8 +340,10 @@ def _box_counts_band(cs_flat, x, y, s, smax: int, N: int, Dl: int):
     hi_c = jnp.clip(hi1, 0, N)
     dc = jnp.clip(d, 0, Dl - 1)
     valid = (d >= 0) & (d < Dl) & (hi_c > lo_c) & (jnp.abs(rel) <= 2 * s_)
-    cnt = (jnp.take(cs_flat, hi_c * Dl + dc)
-           - jnp.take(cs_flat, lo_c * Dl + dc))
+    hi_t = jnp.take(cs_flat, jnp.maximum(hi_c - 1, 0) * Dl + dc)
+    lo_t = jnp.take(cs_flat, jnp.maximum(lo_c - 1, 0) * Dl + dc)
+    cnt = (jnp.where(hi_c > 0, hi_t, 0)
+           - jnp.where(lo_c > 0, lo_t, 0))
     total = jnp.sum(jnp.where(valid, cnt, 0), axis=1)
     empty = ((x - s) < 0) | ((y - s) < 0)
     return jnp.where(empty, 0, total)
@@ -494,9 +498,9 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
 
     found = band_nz & (band_logp < pinf)
     n_tested = jnp.sum(found, dtype=jnp.int32)
-    keys = jnp.where(found, band_logp, pinf)      # +inf = untested marker
-    kf = keys.reshape(-1)
     if _BH_MODE == "sort":
+        keys = jnp.where(found, band_logp, pinf)  # +inf = untested marker
+        kf = keys.reshape(-1)
         # Fallback (MUSTACHE_TPU_BH=sort): ONE stable key+index sort serves
         # both BH and selection: qs[:K] / sidx[:K] are the K smallest-p
         # pixels (row-major stable on ties like the reference argsort,
@@ -513,63 +517,79 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
         look_sp, look_qs = sp_full, qs_full
         in_table = None
     else:
-        # Default: BH WITHOUT the full-array sort. The step-up cutoff
-        # k* = max{j : min(p_(j)·n/j, 1) < pt} is the largest fixed point
-        # of k -> #{i : min(p_i·n/k, 1) < pt}: iterating from k0 = M the
-        # sequence is non-increasing, stays >= k*, and every fixed point
-        # > k* would itself satisfy the step-up condition — so a few O(M)
-        # count passes replace the O(M log M) sort (measured 3-6 passes;
-        # the sort is ~180 ms/launch at the 1kb shape, docs/PERF.md). The
-        # significant set {q < pt} is exactly the k* pixels with
-        # min(p_i·n/k*, 1) < pt (no tie can straddle the cutoff: equal p
-        # have equal membership), extracted by one top_k and re-sorted at
-        # candidate size — bit-identical q for every significant pixel
-        # because the suffix cummin that defines q can never be attained
-        # past rank k* (those terms are all >= pt > q). All expressions
-        # reuse _logq_from_sorted's exact grouping (lp + log n) - log k.
-        tmp = kf + jnp.log(n_tested.astype(dtype))
-        zero = dtype.type(0.0)
-
-        def _nsig_at(k):
-            t = jnp.minimum(tmp - jnp.log(k.astype(dtype)), zero)
-            return jnp.sum(t < log_pt, dtype=jnp.int32)
-
-        # initial carry derived from n_tested (0 * n_tested) so its vma
-        # type matches the body output under shard_map: the body counts
-        # over kf, which is varying on the mesh's block axis, and a
-        # replicated literal carry fails while_loop typing (the r04
-        # MULTICHIP regression). Single-device this is a free no-op.
-        vz = n_tested * 0
-        _, kstar = lax.while_loop(
-            lambda s: s[1] != s[0],
-            lambda s: (s[1], _nsig_at(s[1])),
-            (vz - 1, vz + kf.shape[0]))
-        sig_count = kstar
-        sig = jnp.minimum(tmp - jnp.log(kstar.astype(dtype)), zero) < log_pt
-        # K largest of -lp (masked to the significant set) = K smallest-p
-        # significant pixels; ties at the K boundary only matter when
-        # k* > K, where the regrow contract discards this launch anyway.
-        # top_k caps at the band size (a regrown capacity can exceed it
-        # when >half the band is significant); pad slots are re-added
-        # below with q=log 1=0 so the table keeps its K-slot shape.
-        K_eff = min(K, kf.shape[0])
-        ext_vals, ext_idx = lax.top_k(
-            jnp.where(sig, -kf, dtype.type(-np.inf)), K_eff)
-        # deterministic candidate order: (p, flat index) lexicographic ==
-        # the stable row-major tie order of the reference argsort. Empty
-        # slots carry +inf keys and clip to q=log 1=0 (cand_valid False).
+        # Default: BH with NEITHER the full-array sort NOR full-array
+        # count passes. Write F(k) = #{i : log p_i + log n < log pt +
+        # log k}; the step-up cutoff k* is F's largest fixed point, and
+        # k* > K  <=>  F(K+1) >= K+1 (F is monotone: if F(K+1) >= K+1 the
+        # iteration from M never drops below K+1; conversely k* >= K+1
+        # gives F(K+1) >= F at a point below a fixed point >= K+1). So ONE
+        # O(M) count pass decides overflow, and in the no-overflow case
+        # the marked set {i : F-condition at K+1} has size F(K+1) <= K, is
+        # a SUPERSET of the significant set, and every suffix term the BH
+        # cummin can attain for a significant pixel lies inside it (terms
+        # at ranks > k* are all >= log pt) — so q for every significant
+        # pixel is bit-identical to the full-sort computation, from a
+        # K-sized table. Extraction of the marked set without a full-array
+        # top_k (~120 ms at the 1kb shape; the count passes were ~48 ms,
+        # docs/PERF.md r05): count marks per 128-lane chunk (the same
+        # single pass), top_k the <= K nonempty CHUNKS (tiny [G] array),
+        # gather their rows, and select within the K*128 gathered lanes.
+        # On overflow the table is discarded and the block regrows
+        # (pipeline._maybe_regrow loops, growing capacity geometrically);
+        # sig_count is then the F(K+1) lower bound, exact otherwise.
+        # No materialized key array: the count pass, the chunk gather, and
+        # the neighbor lookups all read band_logp/band_nz directly (the
+        # where-folded key view fuses into each consumer — a [N*Dl] f32
+        # materialization is ~16 ms at the 1kb B=8 shape)
+        LCH = 128
+        M = N * Dl
+        Mp = -(-M // LCH) * LCH
+        G = Mp // LCH
+        lp_flat = band_logp.reshape(-1)
+        nz_flat = band_nz.reshape(-1)
+        if Mp != M:     # tiny/odd test shapes only: Dl is 128-aligned at
+            lp_flat = jnp.pad(lp_flat, (0, Mp - M),      # production sizes
+                              constant_values=np.inf)
+            nz_flat = jnp.pad(nz_flat, (0, Mp - M))
+        # mark threshold in log-p space: lp < log pt + log(K+1) - log n
+        cthr = log_pt + dtype.type(np.log(K + 1)) \
+            - jnp.log(n_tested.astype(dtype))
+        marks = (nz_flat & (lp_flat < cthr)).reshape(G, LCH)
+        cnt = jnp.sum(marks, axis=1, dtype=jnp.int32)         # [G]
+        total1 = jnp.sum(cnt)                                 # F(K+1)
+        # nonempty chunks, ascending chunk index (iota keys; ties none)
+        Kc = min(K, G)
+        ckey = jnp.where(cnt > 0, G - lax.iota(jnp.int32, G), 0)
+        cval, cidx = lax.top_k(ckey, Kc)
+        valid_chunk = cval > 0
+        rows = jnp.where(nz_flat.reshape(G, LCH)[cidx],
+                         lp_flat.reshape(G, LCH)[cidx], pinf)  # [Kc, LCH]
+        flat = cidx[:, None] * LCH + lax.iota(jnp.int32, LCH)[None, :]
+        markg = (rows < cthr) & valid_chunk[:, None]
+        # K smallest-p marked elements; gathered order is ascending flat
+        # index (chunks ascending x lanes ascending), so the lex re-sort
+        # below reproduces the reference argsort's stable row-major ties
+        K_sel = min(K, Kc * LCH)
+        ext_vals, ext_pos = lax.top_k(
+            jnp.where(markg, -rows, dtype.type(-np.inf)).reshape(-1), K_sel)
+        ext_idx = flat.reshape(-1)[ext_pos]
         sp, flat_idx = lax.sort((-ext_vals, ext_idx.astype(jnp.int32)),
                                 num_keys=2)
         qs = _logq_from_sorted(sp, n_tested)
-        if K_eff < K:
-            pad = K - K_eff
+        if K_sel < K:
+            pad = K - K_sel
             sp = jnp.concatenate([sp, jnp.full((pad,), pinf, dtype)])
             qs = jnp.concatenate([qs, jnp.zeros((pad,), dtype)])
             flat_idx = jnp.concatenate(
                 [flat_idx, jnp.zeros((pad,), jnp.int32)])
+        kstar_tbl = jnp.sum(qs < log_pt, dtype=jnp.int32)
+        # exact when <= K; the F(K+1) >= K+1 lower bound on overflow
+        # (enough to trigger and geometrically size the regrow)
+        sig_count = jnp.where(total1 > K, jnp.maximum(total1, K + 1),
+                              kstar_tbl)
         cand_logq = qs
         look_sp, look_qs = sp, qs
-        in_table = jnp.minimum(kstar, K)
+        in_table = jnp.minimum(total1, K)
     cand_valid = cand_logq < log_pt
     cx = (flat_idx // Dl).astype(jnp.int32)
     cd = (flat_idx % Dl).astype(jnp.int32)
@@ -579,10 +599,10 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
     cand_sigidx = band_sigidx.reshape(-1)[flat_idx]
 
     # sparsity filter via per-column prefix sums of the band support
-    # (see _box_counts_band — replaces the dense 2-D integral image)
-    cs_flat = jnp.pad(
-        jnp.cumsum(band_nz.astype(jnp.int32), axis=0),
-        ((1, 0), (0, 0))).reshape(-1)
+    # (see _box_counts_band — replaces the dense 2-D integral image).
+    # INCLUSIVE cumsum, no zero-row pad: the pad was a full-band copy;
+    # _box_counts_band shifts its take indices instead.
+    cs_flat = jnp.cumsum(band_nz.astype(jnp.int32), axis=0).reshape(-1)
     s1 = jnp.where(cand_sigidx >= 0,
                    jnp.take(ceil_table, jnp.maximum(cand_sigidx, 0)), 1)
     c1 = (_box_counts_band(cs_flat, cx, cy, s1, ceil_max, N, Dl)
@@ -617,19 +637,23 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
     in_band = inside & (nd >= 0) & (nd < Dl)
     nxc = jnp.clip(nx, 0, N - 1)
     ndc = jnp.clip(nd, 0, Dl - 1)
-    # value lookup by binary search (BH q equal on tied p, so exact).
-    # In count mode the table holds only the significant pixels, so a
-    # non-significant tested neighbor resolves past the table and takes
-    # the q=1 marker instead of its true q — emission-exact, because the
-    # host argmin winner always has q < pt (every component contains a
+    # value lookup in the sorted table (BH q equal on tied p, so exact).
+    # In count mode the table holds the marked superset of the significant
+    # pixels; a tested neighbor beyond it resolves past the table and
+    # takes the q=1 marker instead of its true q — emission-exact, because
+    # the host argmin winner always has q < pt (every component contains a
     # passing candidate's center) and a >= pt neighbor can never win.
     # Every SIGNIFICANT pixel is in the table (or the launch regrows), so
     # any neighbor that could win resolves to its exact q.
-    nb_val = keys[nxc, ndc]
+    nb_val = jnp.where(found[nxc, ndc], band_logp[nxc, ndc], pinf)
     if in_table is None:
         nb_q = _bh_lookup(look_sp, look_qs, nb_val)
     else:
-        pos = jnp.searchsorted(look_sp, nb_val, method="scan_unrolled")
+        # rank by direct compare-count against the K-entry table: one
+        # fused [K, 3, 3, K] compare+reduce replaces the log-depth
+        # searchsorted scan (~10 ms/launch at the 1kb shape)
+        pos = jnp.sum(look_sp[None, None, None, :] < nb_val[..., None],
+                      axis=-1, dtype=jnp.int32)
         nb_q = jnp.where(pos < in_table,
                          look_qs[jnp.clip(pos, 0, K - 1)], dtype.type(0.0))
     neigh_logq = jnp.where(
@@ -663,7 +687,7 @@ def _band_candidates(geom: _BandGeom, *, band_logp, band_sigidx, band_nz,
 def _detect_one(c, st, log_pt, *, kernels, det_ceil,
                 planes_per_octave, n_octaves, d_px, intra, K,
                 use_pallas=False, pallas_interpret=False, band_state=None,
-                fused_mats=None):
+                fused_mats=None, band_slice=None):
     # st / log_pt are runtime scalars so threshold changes never recompile
     dtype = c.dtype
     st = st.astype(dtype)
@@ -671,7 +695,16 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     N = c.shape[0]
     pinf = dtype.type(np.inf)
 
-    c, nz, nz_count = _preamble(c, d_px, intra)
+    if band_slice is None:
+        c, nz, nz_count = _preamble(c, d_px, intra)
+    else:
+        # band-resident fast path (fused-kernel callers): support mask and
+        # sentinel map come straight from the chromosome-band slice, so
+        # the dense block's values are never read here — the dense<->band
+        # flat-reshape relayouts (4 x ~10 ms T(8,128) copy loops per
+        # launch at the 1kb shape) disappear from the epilogue. The dense
+        # block still exists for the kernel input (fn_base's _preamble).
+        nz = None
 
     G = None
     if band_state is None and not use_pallas:
@@ -697,7 +730,22 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     else:
         pallas_out = None
         Gb = jax.vmap(lambda g: shear(g, dtype.type(0.0)))(G)  # [S, N, Dl]
-    nzb = shear(nz, False)
+    if band_slice is not None:
+        bs = jnp.where(geom.band_validl, band_slice[:, :Dl],
+                       dtype.type(0.0))
+        nzb = geom.band_validl & (bs != 0) & (geom.band_dl >= 4)
+        nz_count = jnp.sum(nzb, dtype=jnp.int32)
+        # sentinel map in band space == shear(_preamble's dense fill):
+        # d <= 4 and (intra) d >= d_px+1 carry SENTINEL at valid cells
+        band_c_arr = jnp.where(geom.band_dl <= 4, dtype.type(SENTINEL), bs)
+        if intra:
+            band_c_arr = jnp.where(geom.band_dl >= d_px + 1,
+                                   dtype.type(SENTINEL), band_c_arr)
+        band_c_arr = jnp.where(geom.band_validl, band_c_arr,
+                               dtype.type(0.0))
+    else:
+        nzb = shear(nz, False)
+        band_c_arr = None
     nzbf = nzb.astype(dtype)
     inv_count = 1.0 / jnp.maximum(nz_count, 1).astype(dtype)
 
@@ -769,7 +817,9 @@ def _detect_one(c, st, log_pt, *, kernels, det_ceil,
     ceil_table = nz_count * 0 + np.asarray(det_ceil, np.int32)
     out = _band_candidates(
         geom, band_logp=best_logp, band_sigidx=best_sigidx, band_nz=nzb,
-        band_c=shear(c, dtype.type(0.0)), ceil_table=ceil_table,
+        band_c=(band_c_arr if band_c_arr is not None
+                else shear(c, dtype.type(0.0))),
+        ceil_table=ceil_table,
         ceil_max=int(np.max(det_ceil)), st=st, log_pt=log_pt, K=K)
     out["nz_count"] = nz_count
     return out
@@ -840,15 +890,16 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         fused_mats=fused_mats,
     )
 
-    def one(c, st, log_pt, band_state=None):
+    def one(c, st, log_pt, band_state=None, band_slice=None):
         return _detect_one(c.astype(dtype), st, log_pt, kernels=kernels,
-                           band_state=band_state, **kw)
+                           band_state=band_state, band_slice=band_slice,
+                           **kw)
 
     if use_pallas:
         from mustache_tpu.kernels.fused_ladder import fused_ladder_nms_batched
         KR, WC, R, TOPPAD, WINROWS = fused_mats
 
-        def fn_base(blocks, st, log_pt, valid=None):
+        def fn_base(blocks, st, log_pt, valid=None, band_slices=None):
             cs, nzs, _ = jax.vmap(
                 lambda c: _preamble(c.astype(dtype), d_px, True))(blocks)
             bv, bsig, locs, sums = fused_ladder_nms_batched(
@@ -857,6 +908,15 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
                 planes_per_octave=spec.planes_per_octave,
                 DB=band_width(blocks.shape[1], d_px),
                 valid=valid, interpret=pallas_interpret)
+            if band_slices is not None:
+                # band-resident epilogue: support/sentinel maps come from
+                # the slices, skipping the dense<->band relayout copies
+                return jax.vmap(
+                    lambda c, a, b, l, s, sl: one(
+                        c, st, log_pt, band_state=(a, b, l, s),
+                        band_slice=sl.astype(dtype)),
+                    in_axes=(0,) * 6)(blocks, bv, bsig, locs, sums,
+                                      band_slices)
             return jax.vmap(
                 lambda c, a, b, l, s: one(c, st, log_pt,
                                           band_state=(a, b, l, s)),
@@ -864,7 +924,7 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
 
         fn = jax.jit(lambda blocks, st, lp: fn_base(blocks, st, lp))
     else:
-        def fn_base(blocks, st, log_pt, valid=None):
+        def fn_base(blocks, st, log_pt, valid=None, band_slices=None):
             # the XLA path computes pad slots at full price (CPU/testing
             # path; the TPU default is the fused kernel with pad skip)
             return jax.vmap(one, in_axes=(0, None, None))(blocks, st,
@@ -877,11 +937,12 @@ def _build_detector_cached(octave_values: tuple, precision: str, d_px: int,
         # Pad batch slots carry start -1: their slice clamps to row 0 and
         # the fused kernel skips their compute entirely (valid mask)
         valid = (starts >= 0).astype(jnp.int32)
-        blocks = jax.vmap(
-            lambda s: dense_from_band(
-                lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n,
-                                         axis=0)))(starts)
-        return fn_base(blocks, st, log_pt, valid)
+        slices = jax.vmap(
+            lambda s: lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n,
+                                               axis=0))(starts)
+        blocks = jax.vmap(dense_from_band)(slices)
+        return fn_base(blocks, st, log_pt, valid,
+                       band_slices=slices if use_pallas else None)
 
     fn_band = jax.jit(fn_band_base)
     fn_band_packed = jax.jit(

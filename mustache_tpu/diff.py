@@ -570,11 +570,17 @@ def _maybe_regrow_diff(block_out: dict, cfg: DetectionConfig,
     The reference selects ALL pixels with q < pt (diff_mustache.py:458,473),
     so truncation would silently drop loops. ``rerun``: callable
     ``(capacity) -> block_out`` re-detecting the block (lazy — the band
-    fast path never materializes host blocks)."""
-    sig = max(int(block_out["sig_count1"]), int(block_out["sig_count2"]))
-    if sig <= cfg.max_candidates:
-        return block_out
-    return rerun(1 << (sig - 1).bit_length())
+    fast path never materializes host blocks). Loops with geometric growth
+    (see pipeline._maybe_regrow: the count-mode sig_count is a lower bound
+    on overflow)."""
+    cap = cfg.max_candidates
+    while True:
+        sig = max(int(block_out["sig_count1"]),
+                  int(block_out["sig_count2"]))
+        if sig <= cap:
+            return block_out
+        cap = max(1 << (sig - 1).bit_length(), 2 * cap)
+        block_out = rerun(cap)
 
 
 def find_diff_loops(x1, y1, v1, x2, y2, v2, *, resolution: int = 5000,
@@ -689,27 +695,29 @@ def detect_diff_loops_coo(x1, y1, v1, x2, y2, v2, cfg: DetectionConfig, *,
     bands_dev = None
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device, pad_exceptions
-        from mustache_tpu.pipeline import fill_raw_band_compact
 
         # mostly-integer counts upload as uint8/uint16 + exception list
         # (2-4x fewer H2D bytes), per condition — see
         # pipeline.fill_raw_band_compact
         def prep_raw(x, y, v):
-            band, exc = fill_raw_band_compact(x, y, v, shape)
+            from mustache_tpu.pipeline import stream_band_to_device
+            place = runner.place_band if runner is not None else None
+            band, exc, p4 = stream_band_to_device(x, y, v, shape,
+                                                  place=place)
             if exc is not None:
-                exc = pad_exceptions(exc, band.shape[0])
-            if runner is not None:
-                band = runner.place_band(band)
-                if exc is not None:
+                exc = pad_exceptions(exc, shape[0])
+                if runner is not None:
                     exc = tuple(runner.place_band(e) for e in exc)
-            return band, exc
+            return band, exc, p4
 
         raw = (prep_raw(x1, y1, v1), prep_raw(x2, y2, v2))
         bands_dev = (
             normalize_band_device(raw[0][0], n1, cfg.resolution, d_px,
-                                  exceptions=raw[0][1])[0],
+                                  exceptions=raw[0][1],
+                                  packed4=raw[0][2])[0],
             normalize_band_device(raw[1][0], n2, cfg.resolution, d_px,
-                                  exceptions=raw[1][1])[0])
+                                  exceptions=raw[1][1],
+                                  packed4=raw[1][2])[0])
     else:
         prep(x1, y1, v1, bands[0] if bands else None, n1)
         prep(x2, y2, v2, bands[1] if bands else None, n2)

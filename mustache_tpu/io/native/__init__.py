@@ -141,6 +141,47 @@ def _load():
     except AttributeError:
         # stale .so from before the compact path existed
         lib._mtpu_no_compact = True
+    try:
+        lib.mtpu_classify_values4.restype = ctypes.c_int
+        lib.mtpu_classify_values4.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.mtpu_pack_band4.restype = ctypes.c_int
+        lib.mtpu_pack_band4.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.mtpu_fill_band_compact_range.restype = ctypes.c_int
+        lib.mtpu_fill_band_compact_range.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+    except AttributeError:
+        # stale .so from before the nibble-packed path existed
+        lib._mtpu_no_pack4 = True
     _lib = lib
     return _lib
 
@@ -280,6 +321,74 @@ def classify_values(v, n_threads=8):
     if lib.mtpu_classify_values(v, len(v), int(n_threads), out) != 0:
         return None
     return int(out[0]), int(out[1])
+
+
+def classify_values4(v, n_threads=8):
+    """4-bit census: count of values not exactly representable as a 4-bit
+    count (non-negative integers below 16). None when the native library
+    (or this entry point) is unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_pack4", False):
+        return None
+    if v.dtype != np.float64 or not v.flags.c_contiguous:
+        return None
+    out = np.zeros(1, np.int64)
+    if lib.mtpu_classify_values4(v, len(v), int(n_threads), out) != 0:
+        return None
+    return int(out[0])
+
+
+def fill_band_compact_range(x, y, v, slab, g0, g1, exc_cap, n_threads=8):
+    """Row-windowed compact fill for slab-streamed H2D overlap: fill ONLY
+    global rows [g0, g1) into ``slab`` (whose row 0 is global row g0).
+    Exception rows come back as GLOBAL indices. Returns the exception
+    triple or None when unavailable / overflowing."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_pack4", False):
+        return None
+    if (x.dtype != y.dtype or x.dtype not in (np.int32, np.int64)
+            or v.dtype != np.float64
+            or slab.dtype not in (np.uint8, np.uint16)
+            or not (x.flags.c_contiguous and y.flags.c_contiguous
+                    and v.flags.c_contiguous and slab.flags.c_contiguous)):
+        return None
+    cap = max(int(exc_cap), 1)
+    er = np.empty(cap, np.int32)
+    ec = np.empty(cap, np.int32)
+    ev = np.empty(cap, np.float32)
+    n = lib.mtpu_fill_band_compact_range(
+        x.ctypes.data_as(ctypes.c_void_p), y.ctypes.data_as(ctypes.c_void_p),
+        1 if x.dtype == np.int64 else 0,
+        v, len(v), slab.ctypes.data_as(ctypes.c_void_p),
+        1 if slab.dtype == np.uint16 else 0,
+        int(g0), int(g1), slab.shape[1], er, ec, ev, cap, int(n_threads))
+    if n < 0:
+        return None
+    return er[:n], ec[:n], ev[:n]
+
+
+def pack_band4(band, exc_cap, n_threads=8):
+    """Nibble-pack a filled uint8 band (two counts per byte, even column in
+    the low nibble). In-band values >= 16 come back as an exception triple
+    (packed as 0 in the output). Returns ``(packed, (rows, cols, values))``
+    or None when the native path is unavailable or exc_cap overflows."""
+    lib = _load()
+    if lib is None or getattr(lib, "_mtpu_no_pack4", False):
+        return None
+    if (band.dtype != np.uint8 or band.ndim != 2 or band.shape[1] % 2
+            or not band.flags.c_contiguous):
+        return None
+    rows, ldb = band.shape
+    packed = np.empty((rows, ldb // 2), np.uint8)
+    cap = max(int(exc_cap), 1)
+    er = np.empty(cap, np.int32)
+    ec = np.empty(cap, np.int32)
+    ev = np.empty(cap, np.float32)
+    n = lib.mtpu_pack_band4(band, rows, ldb, packed, er, ec, ev, cap,
+                            int(n_threads))
+    if n < 0:
+        return None
+    return packed, (er[:n], ec[:n], ev[:n])
 
 
 def fill_band_compact(x, y, v, band_out, exc_cap, n_threads=8):

@@ -89,11 +89,13 @@ def fill_raw_band_compact(x, y, v, band_shape):
     tunneled links; see bandnorm). Float-heavy data (e.g. fully
     bias-divided maps) keeps the f32 band.
 
-    Returns ``(band, exceptions)`` with ``exceptions`` either None or an
-    UNPADDED (rows, cols, values) triple (callers pad via
-    ``bandnorm.pad_exceptions``). Requires unique (x, y) pairs — the
-    ingest-path invariant (duplicates would make band-vs-exception
-    last-write-wins order ambiguous)."""
+    Returns ``(band, exceptions, packed4)`` with ``exceptions`` either None
+    or an UNPADDED (rows, cols, values) triple (callers pad via
+    ``bandnorm.pad_exceptions``) and ``packed4`` True when the band is
+    nibble-packed uint8 [rows, Dl//2] (two counts per byte, even logical
+    column in the low nibble — bandnorm unpacks on device). Requires
+    unique (x, y) pairs — the ingest-path invariant (duplicates would make
+    band-vs-exception last-write-wins order ambiguous)."""
     from mustache_tpu.io import native
 
     rows, Dl = band_shape
@@ -107,6 +109,16 @@ def fill_raw_band_compact(x, y, v, band_shape):
         # 12-byte exception records (i32 row + i32 col + f32 value)
         bytes8 = rows * Dl + ne8 * 12
         bytes16 = 2 * rows * Dl + ne16 * 12
+        # 4-bit census only when u8 is viable (its misfits are a superset)
+        ne4 = bytes4 = None
+        if Dl % 2 == 0 and bytes8 <= bytes16 and bytes8 < 4 * rows * Dl:
+            ne4 = native.classify_values4(v)
+            if ne4 is None and v.size:
+                isint8 = np.isfinite(v) & (v >= 0) & (v == np.floor(v)) \
+                    & (v < 256)
+                ne4 = int(np.count_nonzero(~(isint8 & (v < 16))))
+            if ne4 is not None:
+                bytes4 = rows * Dl // 2 + ne4 * 12
         if min(bytes8, bytes16) < 4 * rows * Dl:
             dtype, cap = ((np.uint8, ne8) if bytes8 <= bytes16
                           else (np.uint16, ne16))
@@ -125,8 +137,106 @@ def fill_raw_band_compact(x, y, v, band_shape):
                        d_arr[sel].astype(np.int32),
                        v[sel].astype(np.float32))
             if exc is not None:
-                return band, (exc if len(exc[0]) else None)
-    return fill_raw_band(x, y, v, band_shape), None
+                exc = exc if len(exc[0]) else None
+                # nibble-pack when it beats u8 decisively (0.7x): halves
+                # the link bytes again; in-band 16..255 values move to the
+                # exception list (scattered on device over the unpack)
+                if (bytes4 is not None and dtype == np.uint8
+                        and bytes4 < 0.7 * bytes8):
+                    got = native.pack_band4(band, ne4 + 16)
+                    if got is not None:
+                        packed, big = got
+                    else:           # numpy twin of mtpu_pack_band4
+                        big_r, big_c = np.nonzero(band >= 16)
+                        big = (big_r.astype(np.int32),
+                               big_c.astype(np.int32),
+                               band[big_r, big_c].astype(np.float32))
+                        band[big_r, big_c] = 0
+                        packed = np.ascontiguousarray(
+                            band[:, 0::2] | (band[:, 1::2] << 4))
+                    if len(big[0]):
+                        exc = big if exc is None else tuple(
+                            np.concatenate([a, b])
+                            for a, b in zip(exc, big))
+                    return packed, exc, True
+                return band, exc, False
+    return fill_raw_band(x, y, v, band_shape), None, False
+
+
+def stream_band_to_device(x, y, v, band_shape, place=None):
+    """Slab-streamed compact band transfer: fill row slabs on the host and
+    enqueue each slab's H2D as soon as it is ready, so the (async,
+    measured-overlappable) link transfer hides most of the host fill/pack
+    time. Transfers do NOT overlap device compute on this link
+    (docs/PERF.md), but device_put enqueues in ~10 ms and runs
+    concurrently with HOST work — fill slab k+1 while slab k is in
+    flight. Falls back to the one-shot fill_raw_band_compact + device_put
+    when the native range fill, the u8 encoding, or the size threshold
+    doesn't apply.
+
+    Returns ``(band_dev, exc, packed4)`` with ``band_dev`` a DEVICE array
+    (placed via ``place`` or jax.device_put) and ``exc`` an unpadded
+    global-row exception triple or None.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mustache_tpu.io import native
+
+    put = place if place is not None else jax.device_put
+    rows, Dl = band_shape
+    counts = native.classify_values(v)
+    ne4 = native.classify_values4(v) if Dl % 2 == 0 else None
+    streamable = (counts is not None and v.size
+                  and rows >= 4096 and len(v) >= (1 << 20))
+    if streamable:
+        ne8, ne16 = counts
+        bytes8 = rows * Dl + ne8 * 12
+        p4 = (ne4 is not None
+              and rows * Dl // 2 + ne4 * 12 < 0.7 * bytes8)
+        # stream only the u8/u4 encodings (u16/f32 data takes the one-shot
+        # path — same dtype-selection outcome as fill_raw_band_compact)
+        streamable = (bytes8 <= 2 * rows * Dl + ne16 * 12
+                      and bytes8 < 4 * rows * Dl)
+    if not streamable:
+        band, exc, p4 = fill_raw_band_compact(x, y, v, band_shape)
+        return put(band), exc, p4
+
+    # 2 slabs: each range-fill call scans the whole COO (write work
+    # divides, the 18M-entry scan does not — ~20 ms/slab at 1kb), so more
+    # slabs cost host time faster than they add transfer overlap
+    n_slabs = 2
+    per = -(-rows // n_slabs)
+    slabs_dev, excs = [], []
+    for k in range(n_slabs):
+        g0, g1 = k * per, min((k + 1) * per, rows)
+        if g0 >= g1:
+            break
+        slab = np.zeros((g1 - g0, Dl), np.uint8)
+        exc = native.fill_band_compact_range(x, y, v, slab, g0, g1,
+                                             ne8 + 16)
+        if exc is None:        # native path refused mid-way: fall back
+            band, exc, p4 = fill_raw_band_compact(x, y, v, band_shape)
+            return put(band), exc, p4
+        if p4:
+            got = native.pack_band4(slab, (ne4 or 0) + 16)
+            if got is None:
+                band, exc2, p4 = fill_raw_band_compact(x, y, v, band_shape)
+                return put(band), exc2, p4
+            slab, big = got
+            if len(big[0]):
+                big = (big[0] + np.int32(g0), big[1], big[2])
+                exc = tuple(np.concatenate([a, b])
+                            for a, b in zip(exc, big))
+        excs.append(exc)
+        slabs_dev.append(put(slab))     # async enqueue; next slab fills
+        # while this one is in flight
+    band_dev = jnp.concatenate(slabs_dev, axis=0)
+    er = np.concatenate([e[0] for e in excs])
+    exc = ((er, np.concatenate([e[1] for e in excs]),
+            np.concatenate([e[2] for e in excs]))
+           if len(er) else None)
+    return band_dev, exc, p4
 
 
 def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
@@ -157,18 +267,18 @@ def _auto_batch(n: int, cfg: DetectionConfig, backend: str,
     return _pick_batch(nblocks, cap, n)
 
 
-# Cost-model constants, fit on the tunneled v5e chip AFTER the BH count
-# fixed-point removed the flat per-launch sort (docs/PERF.md r04 B-sweep:
-# 5kb nblocks=6 B=2/4/8/16 -> 0.34/0.31/0.30/0.48 s warm; 1kb nblocks=5
-# B=1/2/8 -> 0.83/0.82/0.91 s; the joint fit F=0.04, S=0.0225*(n/2000)^2
-# reproduces every measured ordering). Before that change the per-launch
-# floor was ~170 ms and launch-count-first was the right policy; with it
-# gone the dominant waste is PAD SLOTS at large n (a trailing partial
-# batch is zero-padded to B; pads skip the in-kernel blur but still pay
-# the full XLA epilogue), while at small n the per-launch dispatch+D2H
-# round-trip still favors big batches.
-_LAUNCH_F = 0.04           # s per launch: dispatch + D2H round-trip
-_SLOT_S = 5.6e-9           # s per block pixel: blur + epilogue per slot
+# Cost-model constants, re-fit on the tunneled v5e chip AFTER the r05
+# chunk-extraction BH removed both the full-array top_k and the count
+# fixed-point (detect._band_candidates). Measured with D2H included
+# (np.asarray on the packed buffers — the tunnel round-trip is the real
+# per-launch cost the old fit under-weighted): 1kb nblocks=5 n=4000,
+# B=8 -> 0.37 s total, B=1 -> 5 x 0.12 s. Joint fit: F = 0.084 s/launch
+# (dispatch + D2H round-trip on this link), S = 2.2e-9 s/px/slot. The
+# model favors one big padded launch at every bench shape; pad slots
+# skip their in-kernel blur (valid mask) so their marginal cost is the
+# XLA epilogue only.
+_LAUNCH_F = 0.084          # s per launch: dispatch + D2H round-trip
+_SLOT_S = 2.2e-9           # s per block pixel: blur + epilogue per slot
 
 
 def _pick_batch(nblocks: int, cap: int, n: int = 2000) -> int:
@@ -269,15 +379,16 @@ def detect_loops_coo(x, y, v, cfg: DetectionConfig, *, normalize: bool = True,
     if device_norm:
         from mustache_tpu.bandnorm import normalize_band_device, pad_exceptions
 
-        band, exc = fill_raw_band_compact(x, y, v, band_shape)
+        place = runner.place_band if runner is not None else None
+        band_placed, exc, p4 = stream_band_to_device(x, y, v, band_shape,
+                                                     place=place)
         if exc is not None:
-            exc = pad_exceptions(exc, band.shape[0])
-        if runner is not None:
-            band = runner.place_band(band)
-            if exc is not None:
+            exc = pad_exceptions(exc, band_shape[0])
+            if runner is not None:
                 exc = tuple(runner.place_band(e) for e in exc)
-        band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px,
-                                            exceptions=exc)
+        band_dev, _ = normalize_band_device(band_placed, n, cfg.resolution,
+                                            d_px, exceptions=exc,
+                                            packed4=p4)
     elif normalize:
         work = (np.float64 if (exact_normalize or cfg.precision == "float64")
                 else np.float32)
@@ -391,11 +502,19 @@ def _maybe_regrow(block_out: dict, cfg: DetectionConfig, rerun) -> dict:
     """If the candidate table overflowed (more pixels below the q threshold
     than capacity), rerun this single block with a larger capacity.
     ``rerun``: callable ``(capacity) -> block_out`` re-detecting the block
-    (lazy — the band fast path never materializes host blocks)."""
-    sig = int(block_out["sig_count"])
-    if sig <= cfg.max_candidates:
-        return block_out
-    return rerun(1 << (sig - 1).bit_length())
+    (lazy — the band fast path never materializes host blocks).
+
+    Loops with geometric growth: the count-mode detector reports sig_count
+    as the F(K+1) LOWER BOUND on overflow (exact when it fits), so one
+    rerun is not guaranteed to fit; capacity at least doubles per round
+    and sig_count <= band pixels, so the loop terminates."""
+    cap = cfg.max_candidates
+    while True:
+        sig = int(block_out["sig_count"])
+        if sig <= cap:
+            return block_out
+        cap = max(1 << (sig - 1).bit_length(), 2 * cap)
+        block_out = rerun(cap)
 
 
 def write_loops(path: str, per_chrom: Iterable[tuple[str, str, int, Sequence[Loop]]]):

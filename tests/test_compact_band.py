@@ -55,7 +55,7 @@ def test_compact_matches_f32_band(frac_float, frac_big, want_dtype):
     rows, Dl = 300, 96
     x, y, v = _coo(rows, Dl, seed=7, frac_float=frac_float,
                    frac_big=frac_big)
-    band, exc = fill_raw_band_compact(x, y, v, (rows, Dl))
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
     assert band.dtype == want_dtype
     misfits = int(frac_float * len(v)) + int(frac_big * len(v))
     if misfits:
@@ -72,7 +72,7 @@ def test_compact_matches_f32_band(frac_float, frac_big, want_dtype):
 def test_compact_picks_u16_for_medium_counts():
     rows, Dl = 200, 64
     x, y, v = _coo(rows, Dl, seed=3, lam=500.0)  # counts straddle 256
-    band, exc = fill_raw_band_compact(x, y, v, (rows, Dl))
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
     assert band.dtype == np.uint16
     ref = np.zeros((rows, Dl), np.float32)
     ref[x, y - x] = v.astype(np.float32)
@@ -84,7 +84,7 @@ def test_compact_falls_back_to_f32_for_float_heavy():
     f32 band, so the compact path must decline."""
     rows, Dl = 120, 48
     x, y, v = _coo(rows, Dl, seed=5, frac_float=1.0)
-    band, exc = fill_raw_band_compact(x, y, v, (rows, Dl))
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
     assert band.dtype == np.float32 and exc is None
     np.testing.assert_array_equal(band, fill_raw_band(x, y, v, (rows, Dl)))
 
@@ -96,14 +96,14 @@ def test_numpy_twin_matches_native():
     rows, Dl = 150, 80
     x, y, v = _coo(rows, Dl, seed=11, frac_float=0.03, frac_big=0.01)
 
-    band_n, exc_n = fill_raw_band_compact(x, y, v, (rows, Dl))
+    band_n, exc_n, _ = fill_raw_band_compact(x, y, v, (rows, Dl))
 
     orig_classify = native.classify_values
     orig_fill = native.fill_band_compact
     native.classify_values = lambda *a, **k: None
     native.fill_band_compact = lambda *a, **k: None
     try:
-        band_p, exc_p = fill_raw_band_compact(x, y, v, (rows, Dl))
+        band_p, exc_p, _ = fill_raw_band_compact(x, y, v, (rows, Dl))
     finally:
         native.classify_values = orig_classify
         native.fill_band_compact = orig_fill
@@ -155,7 +155,7 @@ def test_device_normalize_with_exceptions_matches_f32():
     _, idx = np.unique(flat, return_index=True)
     x, y, v = x[idx], y[idx], v[idx]
 
-    band, exc = fill_raw_band_compact(x, y, v, (rows, Dl))
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
     assert band.dtype != np.float32 and exc is not None
     got, _ = normalize_band_device(
         band, n, res, d_px, exceptions=pad_exceptions(exc, rows))
@@ -179,7 +179,7 @@ def test_pipeline_loops_identical_with_float_tail():
     v = v.copy()
     v[tail] += 0.5  # non-integer tail: compact path with exceptions
 
-    band, exc = fill_raw_band_compact(
+    band, exc, _ = fill_raw_band_compact(
         x, y, v, (1500, pipeline.band_width(1500, 400)))
     assert band.dtype == np.uint8 and exc is not None
 
@@ -188,7 +188,7 @@ def test_pipeline_loops_identical_with_float_tail():
     orig = pipeline.fill_raw_band_compact
     pipeline.fill_raw_band_compact = (
         lambda xx, yy, vv, shape: (fill_raw_band(xx, yy, vv, shape)
-                                   .astype(np.float32), None))
+                                   .astype(np.float32), None, False))
     try:
         loops_f32 = detect_loops_coo(x, y, v.copy(), cfg)
     finally:
@@ -197,3 +197,70 @@ def test_pipeline_loops_identical_with_float_tail():
     got = {(lp.bin1, lp.bin2) for lp in loops_compact}
     want = {(lp.bin1, lp.bin2) for lp in loops_f32}
     assert got == want and len(got) > 5
+
+
+def _unpack4(packed):
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.float32)
+    out[:, 0::2] = packed & 0x0F
+    out[:, 1::2] = packed >> 4
+    return out
+
+
+def test_u4_packing_small_counts():
+    """Small-count data (the real Micro-C regime) nibble-packs: half the
+    u8 bytes, 16..255 values move to the exception list, and the device
+    unpack+scatter reproduces the f32 band bit-for-bit."""
+    rows, Dl = 300, 96
+    x, y, v = _coo(rows, Dl, seed=19, lam=2.0)
+    v[:40] = 100.0      # a thin 16..255 tail -> u4 exceptions
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
+    assert p4 and band.dtype == np.uint8 and band.shape == (rows, Dl // 2)
+    assert exc is not None and len(exc[0]) == 40
+
+    ref = np.zeros((rows, Dl), np.float32)
+    ref[x, y - x] = v.astype(np.float32)
+    np.testing.assert_array_equal(_reconstruct(_unpack4(band), exc), ref)
+
+
+def test_u4_device_normalize_matches_f32():
+    n, d_px, res = 400, 96, 5000
+    rows, Dl = n, 98
+    x, y, v = _coo(rows, Dl, seed=23, lam=2.0)
+    v[:25] += 0.5       # non-integer tail
+    v[25:55] = 200.0    # 16..255 tail
+    band, exc, p4 = fill_raw_band_compact(x, y, v, (rows, Dl))
+    assert p4
+    got, _ = normalize_band_device(
+        band, n, res, d_px, exceptions=pad_exceptions(exc, rows),
+        packed4=True)
+    f32 = np.zeros((rows, Dl), np.float32)
+    f32[x, y - x] = v.astype(np.float32)
+    want, _ = normalize_band_device(f32, n, res, d_px)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_u4_pipeline_loops_identical():
+    """detect_loops_coo with the u4 band vs the f32 band: identical calls
+    on small-count data."""
+    from mustache_tpu import pipeline
+
+    cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
+                          pt=0.1, st=0.8, precision="float32")
+    x, y, v, _ = synthetic_hic(1500, 300, seed=29, n_loops=30)
+    v = np.minimum(v, 12.0)   # clamp into the nibble range
+    shape = (1500, pipeline.band_width(1500, 400))
+    band, exc, p4 = fill_raw_band_compact(x, y, v, shape)
+    assert p4, "u4 should win on all-small counts"
+
+    loops_u4 = detect_loops_coo(x, y, v.copy(), cfg)
+    orig = pipeline.fill_raw_band_compact
+    pipeline.fill_raw_band_compact = (
+        lambda xx, yy, vv, sh: (fill_raw_band(xx, yy, vv, sh)
+                                .astype(np.float32), None, False))
+    try:
+        loops_f32 = detect_loops_coo(x, y, v.copy(), cfg)
+    finally:
+        pipeline.fill_raw_band_compact = orig
+    assert [(l.bin1, l.bin2, l.q, l.scale) for l in loops_u4] == \
+           [(l.bin1, l.bin2, l.q, l.scale) for l in loops_f32]
+    assert len(loops_u4) > 3

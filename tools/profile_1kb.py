@@ -50,8 +50,8 @@ for rep in range(REPS):
     print(f"--- rep {rep} ---", file=sys.stderr)
     total0 = time.time()
     band_shape = (bucket_rows(max(n, width)), band_width(width, d_px))
-    (band, exc), _ = t("host fill_raw_band_compact", fill_raw_band_compact,
-                       x, y, v, band_shape)
+    (band, exc, p4), _ = t("host fill_raw_band_compact",
+                           fill_raw_band_compact, x, y, v, band_shape)
     print(f"  band {band.shape} {band.dtype} "
           f"{band.nbytes/1e6:.1f} MB exc={0 if exc is None else len(exc[0])}",
           file=sys.stderr)
@@ -60,7 +60,7 @@ for rep in range(REPS):
 
     def normf():
         bd, _ = normalize_band_device(band, n, cfg.resolution, d_px,
-                                      exceptions=exc)
+                                      exceptions=exc, packed4=p4)
         bd.block_until_ready()
         return bd
     band_dev, _ = t("H2D + device normalize", normf)

@@ -33,11 +33,11 @@ n = BINS_1KB
 width = cfg.chunk_size
 
 band_shape = (bucket_rows(max(n, width)), band_width(width, d_px))
-band, exc = fill_raw_band_compact(x, y, v, band_shape)
+band, exc, p4 = fill_raw_band_compact(x, y, v, band_shape)
 if exc is not None:
     exc = pad_exceptions(exc, band.shape[0])
 band_dev, _ = normalize_band_device(band, n, cfg.resolution, d_px,
-                                    exceptions=exc)
+                                    exceptions=exc, packed4=p4)
 band_dev.block_until_ready()
 
 start, end = chunk_grid(n, width, d_px)

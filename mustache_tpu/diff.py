@@ -43,28 +43,36 @@ from mustache_tpu.scalespace import LadderSpec, build_ladder
 
 def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
                      planes_per_octave, n_octaves, d_px, intra, K,
-                     band_states=None, diff_p_band=None):
+                     band_states=None, diff_p_band=None, band_slices=None):
     dtype = c1.dtype
     st = st.astype(dtype)
     log_pt = log_pt.astype(dtype)
     N = c1.shape[0]
-    rows_np = np.arange(N, dtype=np.int32)
-    diag = (jnp.zeros_like(c1, dtype=jnp.int32)
-            + rows_np[None, :] - rows_np[:, None])
-
-    nz1 = (c1 != 0) & (diag >= 4)
-    nz2 = (c2 != 0) & (diag >= 4)
-    nzd = nz1 & nz2
-    nz1_count = jnp.sum(nz1, dtype=jnp.int32)
-    nz2_count = jnp.sum(nz2, dtype=jnp.int32)
-
     sent = dtype.type(SENTINEL)
-    c1 = jnp.where(diag <= 4, sent, c1)
-    c2 = jnp.where(diag <= 4, sent, c2)
-    if intra:
-        c1 = jnp.where(diag >= d_px + 1, sent, c1)
-        c2 = jnp.where(diag >= d_px + 1, sent, c2)
-    cd = jnp.where(nzd, c1 - c2, dtype.type(0.0))
+    if band_slices is None:
+        rows_np = np.arange(N, dtype=np.int32)
+        diag = (jnp.zeros_like(c1, dtype=jnp.int32)
+                + rows_np[None, :] - rows_np[:, None])
+
+        nz1 = (c1 != 0) & (diag >= 4)
+        nz2 = (c2 != 0) & (diag >= 4)
+        nzd = nz1 & nz2
+        nz1_count = jnp.sum(nz1, dtype=jnp.int32)
+        nz2_count = jnp.sum(nz2, dtype=jnp.int32)
+
+        c1 = jnp.where(diag <= 4, sent, c1)
+        c2 = jnp.where(diag <= 4, sent, c2)
+        if intra:
+            c1 = jnp.where(diag >= d_px + 1, sent, c1)
+            c2 = jnp.where(diag >= d_px + 1, sent, c2)
+        cd = jnp.where(nzd, c1 - c2, dtype.type(0.0))
+    else:
+        # band-resident fast path (fused batched callers, which also
+        # precompute diff_p_band): support masks and sentinel maps come
+        # from the chromosome-band slices, so the dense blocks' values
+        # are never read here — see detect._detect_one's band_slice note
+        # (four dense<->band relayout copies per condition avoided)
+        assert band_states is not None and diff_p_band is not None
 
     S = kernels.shape[0]
     bpo = planes_per_octave + 3   # blurs per octave (LadderSpec shape)
@@ -91,13 +99,22 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
     pinf = dtype.type(np.inf)
     zero = dtype.type(0.0)
 
-    nzb = {1: geom.shear(nz1, False), 2: geom.shear(nz2, False)}
+    if band_slices is not None:
+        bsrc = {m: jnp.where(geom.band_validl, sl[:, :Dl], zero)
+                for m, sl in ((1, band_slices[0]), (2, band_slices[1]))}
+        nzb = {m: geom.band_validl & (bsrc[m] != 0) & (geom.band_dl >= 4)
+               for m in (1, 2)}
+        nz1_count = jnp.sum(nzb[1], dtype=jnp.int32)
+        nz2_count = jnp.sum(nzb[2], dtype=jnp.int32)
+    else:
+        nzb = {1: geom.shear(nz1, False), 2: geom.shear(nz2, False)}
+        nzbd = geom.shear(nzd, False)
+        nzbd_f = nzbd.astype(dtype)
+        inv_nzd = (1.0 / jnp.maximum(jnp.sum(nzd, dtype=jnp.int32), 1)
+                   .astype(dtype))
     nzbf = {m: nzb[m].astype(dtype) for m in (1, 2)}
     inv_nz = {m: 1.0 / jnp.maximum(c, 1).astype(dtype)
               for m, c in ((1, nz1_count), (2, nz2_count))}
-    nzbd = geom.shear(nzd, False)
-    nzbd_f = nzbd.astype(dtype)
-    inv_nzd = 1.0 / jnp.maximum(jnp.sum(nzd, dtype=jnp.int32), 1).astype(dtype)
 
     def make_step(diff_p):
         def step(carry, xs):
@@ -214,7 +231,16 @@ def _diff_detect_one(c1, c2, st, log_pt, *, kernels, det_ceil,
 
     out = {"nz1_count": nz1_count, "nz2_count": nz2_count}
     ceil_table = nz1_count * 0 + np.asarray(det_ceil, np.int32)
-    band_c = {1: geom.shear(c1, zerof), 2: geom.shear(c2, zerof)}
+    if band_slices is not None:
+        # sentinel map in band space == shear of the dense sentinel fill
+        def _bc(b):
+            b = jnp.where(geom.band_dl <= 4, sent, b)
+            if intra:
+                b = jnp.where(geom.band_dl >= d_px + 1, sent, b)
+            return jnp.where(geom.band_validl, b, zerof)
+        band_c = {1: _bc(bsrc[1]), 2: _bc(bsrc[2])}
+    else:
+        band_c = {1: geom.shear(c1, zerof), 2: geom.shear(c2, zerof)}
     # best DoG responses on each map's own support, 1 elsewhere
     # (diff_mustache.py:446-449) — both exported on every candidate's
     # neighborhood so the host can evaluate the differential call
@@ -293,11 +319,13 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
         K=max_candidates,
     )
 
-    def one(c1, c2, st, log_pt, band_states=None, diff_p_band=None):
+    def one(c1, c2, st, log_pt, band_states=None, diff_p_band=None,
+            band_slices=None):
         return _diff_detect_one(c1.astype(dtype), c2.astype(dtype), st,
                                 log_pt, kernels=kernels,
                                 band_states=band_states,
-                                diff_p_band=diff_p_band, **kw)
+                                diff_p_band=diff_p_band,
+                                band_slices=band_slices, **kw)
 
     if use_pallas:
         from mustache_tpu.detect import _preamble, band_width
@@ -306,7 +334,7 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
         )
         KR, WC, R, TOPPAD, WINROWS = build_fused_mats(spec.kernels)
 
-        def fn_base(b1, b2, st, log_pt, valid=None):
+        def fn_base(b1, b2, st, log_pt, valid=None, band_slices=None):
             # BOTH conditions' blocks through ONE fused-kernel launch
             # (grid is [2B, steps]; the per-map expon partials and NMS
             # states come back split); the tiny difference-map ladder
@@ -383,6 +411,17 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
                 dps.append(jnp.where(phi > 0.5, 1.0 - phi, phi) * 2.0)
             diff_p = jnp.stack(dps, axis=1)            # [B, n_oct, N, Dlb]
 
+            if band_slices is not None:
+                return jax.vmap(
+                    lambda c1, c2, dp, a1, s1, l1, m1, a2, s2, l2, m2, \
+                        sl1, sl2: one(
+                        c1, c2, st, log_pt, diff_p_band=dp,
+                        band_states=((a1, s1, l1, m1), (a2, s2, l2, m2)),
+                        band_slices=(sl1.astype(dtype),
+                                     sl2.astype(dtype))),
+                )(b1, b2, diff_p, bv[:B], bsig[:B], locs[:B], sums[:B],
+                  bv[B:], bsig[B:], locs[B:], sums[B:],
+                  band_slices[0], band_slices[1])
             return jax.vmap(
                 lambda c1, c2, dp, a1, s1, l1, m1, a2, s2, l2, m2: one(
                     c1, c2, st, log_pt, diff_p_band=dp,
@@ -390,7 +429,7 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
             )(b1, b2, diff_p, bv[:B], bsig[:B], locs[:B], sums[:B],
               bv[B:], bsig[B:], locs[B:], sums[B:])
     else:
-        def fn_base(b1, b2, st, log_pt, valid=None):
+        def fn_base(b1, b2, st, log_pt, valid=None, band_slices=None):
             return jax.vmap(one, in_axes=(0, 0, None, None))(b1, b2, st,
                                                              log_pt)
 
@@ -400,14 +439,16 @@ def _build_diff_detector_cached(octave_values: tuple, precision: str,
         # slots carry start -1 (clamped slice; kernel skips their compute)
         from mustache_tpu.detect import dense_from_band
 
-        def blk(band, s):
-            return dense_from_band(
-                lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n, 0))
+        def slc(band, s):
+            return lax.dynamic_slice_in_dim(band, jnp.maximum(s, 0), n, 0)
 
         valid = (starts >= 0).astype(jnp.int32)
-        b1 = jax.vmap(lambda s: blk(band1, s))(starts)
-        b2 = jax.vmap(lambda s: blk(band2, s))(starts)
-        return fn_base(b1, b2, st, log_pt, valid)
+        sl1 = jax.vmap(lambda s: slc(band1, s))(starts)
+        sl2 = jax.vmap(lambda s: slc(band2, s))(starts)
+        b1 = jax.vmap(dense_from_band)(sl1)
+        b2 = jax.vmap(dense_from_band)(sl2)
+        return fn_base(b1, b2, st, log_pt, valid,
+                       band_slices=(sl1, sl2) if use_pallas else None)
 
     out_shapes = jax.eval_shape(
         one, jax.ShapeDtypeStruct((n, n), dtype),

@@ -349,6 +349,18 @@ print(f"FRESH {{t_p1:.2f}} {{len(loops)}} imp={{t_imp:.1f}} "
               f"{detail}", file=sys.stderr)
         if walls[-1] < 10 and rep == 0:
             break      # already warmed-cold; skip the confirmation run
+        if rep == 0 and walls[-1] > 60:
+            # a compile marathon (or tunnel churn) drains this VM's
+            # token-bucket throttle; measuring run 2 into the drained
+            # bucket produced 6x-slower "warm" numbers (docs/PERF.md
+            # tunnel notes). Let it refill first.
+            print("# fresh-process: resting 90s (throttle refill) before "
+                  "run 2", file=sys.stderr)
+            time.sleep(90)
+    if max(walls) > 60:
+        print("# fresh-process: resting 90s before throughput legs",
+              file=sys.stderr)
+        time.sleep(90)
     return min(walls)
 
 

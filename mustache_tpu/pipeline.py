@@ -77,6 +77,12 @@ def fill_raw_band(x, y, v, band_shape) -> np.ndarray:
     return band
 
 
+# uint4 packing pays host census+pack plus a bigger device exception
+# scatter; below this band size the link bytes it saves are smaller than
+# that overhead (A/B at the 5kb diff shape), so u8 keeps the small bands
+_U4_MIN_BYTES = 8_000_000
+
+
 def fill_raw_band_compact(x, y, v, band_shape):
     """Raw-band fill picking the narrowest LOSSLESS transfer encoding.
 
@@ -110,8 +116,11 @@ def fill_raw_band_compact(x, y, v, band_shape):
         bytes8 = rows * Dl + ne8 * 12
         bytes16 = 2 * rows * Dl + ne16 * 12
         # 4-bit census only when u8 is viable (its misfits are a superset)
+        # and the band is big enough for halved link bytes to beat the
+        # census/pack/scatter overhead
         ne4 = bytes4 = None
-        if Dl % 2 == 0 and bytes8 <= bytes16 and bytes8 < 4 * rows * Dl:
+        if (Dl % 2 == 0 and bytes8 <= bytes16 and bytes8 < 4 * rows * Dl
+                and rows * Dl >= _U4_MIN_BYTES):
             ne4 = native.classify_values4(v)
             if ne4 is None and v.size:
                 isint8 = np.isfinite(v) & (v >= 0) & (v == np.floor(v)) \

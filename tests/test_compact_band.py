@@ -206,10 +206,13 @@ def _unpack4(packed):
     return out
 
 
-def test_u4_packing_small_counts():
+def test_u4_packing_small_counts(monkeypatch):
     """Small-count data (the real Micro-C regime) nibble-packs: half the
     u8 bytes, 16..255 values move to the exception list, and the device
-    unpack+scatter reproduces the f32 band bit-for-bit."""
+    unpack+scatter reproduces the f32 band bit-for-bit. (The size gate is
+    lowered: production u4 applies only to >= 8 MB bands.)"""
+    from mustache_tpu import pipeline
+    monkeypatch.setattr(pipeline, "_U4_MIN_BYTES", 0)
     rows, Dl = 300, 96
     x, y, v = _coo(rows, Dl, seed=19, lam=2.0)
     v[:40] = 100.0      # a thin 16..255 tail -> u4 exceptions
@@ -222,7 +225,9 @@ def test_u4_packing_small_counts():
     np.testing.assert_array_equal(_reconstruct(_unpack4(band), exc), ref)
 
 
-def test_u4_device_normalize_matches_f32():
+def test_u4_device_normalize_matches_f32(monkeypatch):
+    from mustache_tpu import pipeline
+    monkeypatch.setattr(pipeline, "_U4_MIN_BYTES", 0)
     n, d_px, res = 400, 96, 5000
     rows, Dl = n, 98
     x, y, v = _coo(rows, Dl, seed=23, lam=2.0)
@@ -239,10 +244,12 @@ def test_u4_device_normalize_matches_f32():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_u4_pipeline_loops_identical():
+def test_u4_pipeline_loops_identical(monkeypatch):
     """detect_loops_coo with the u4 band vs the f32 band: identical calls
     on small-count data."""
     from mustache_tpu import pipeline
+
+    monkeypatch.setattr(pipeline, "_U4_MIN_BYTES", 0)
 
     cfg = DetectionConfig(resolution=5000, distance_bp=2_000_000,
                           pt=0.1, st=0.8, precision="float32")
